@@ -1,0 +1,53 @@
+"""Device-side voxelization with `ME.utils.sparse_quantize` semantics.
+
+The reference voxelizes on CPU dataloader workers (reference:
+lib/data_loaders.py:940-943). Here the raw padded cloud goes straight to
+the device and voxelization is part of the jitted step: quantize -> pack
+keys -> sort -> first-occurrence unique -> compact into a fixed-capacity
+buffer. The representative point chosen for each voxel is the one with the
+lowest original index (deterministic; ME's pick is hash-order arbitrary).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from eyoc_tpu.sparse.keys import pack_coords
+from eyoc_tpu.sparse.types import VoxelizedCloud
+
+
+def voxelize(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+) -> VoxelizedCloud:
+    """Voxelize one padded cloud.
+
+    xyz: [P, 3] f32 raw points (garbage at pad rows); mask: [P] bool.
+    Returns VoxelizedCloud with buffers of size `capacity`; voxels beyond
+    capacity are dropped (count saturates).
+    """
+    P = xyz.shape[0]
+    coords = jnp.floor(xyz / voxel_size).astype(jnp.int32)
+    key = pack_coords(coords, mask)  # invalid -> INVALID_KEY, sorts last
+
+    idx = jnp.arange(P, dtype=jnp.int32)
+    # lexicographic sort by (key, original index) => first occurrence first
+    key_s, idx_s = jax.lax.sort((key, idx), num_keys=2)
+    valid_s = key_s < jnp.int32(1 << 30)
+    first = jnp.concatenate(
+        [valid_s[:1], valid_s[1:] & (key_s[1:] != key_s[:-1])]
+    )
+
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1  # target slot per unique voxel
+    count = jnp.minimum(jnp.sum(first.astype(jnp.int32)), capacity)
+    slot = jnp.where(first & (pos < capacity), pos, capacity)  # OOB -> dropped
+
+    src = jnp.take(coords, idx_s, axis=0)
+    src_xyz = jnp.take(xyz, idx_s, axis=0)
+    out_coords = jnp.zeros((capacity, 3), jnp.int32).at[slot].set(src, mode="drop")
+    out_xyz = jnp.zeros((capacity, 3), jnp.float32).at[slot].set(src_xyz, mode="drop")
+    out_mask = jnp.arange(capacity) < count
+    return VoxelizedCloud(out_coords, out_xyz, out_mask, count)
