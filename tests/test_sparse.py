@@ -208,7 +208,7 @@ class TestSparseConv:
         vox, pyr = make_pyramid(pts, caps=(256, 256, 256, 256))
         n0, n1 = int(vox.count), int(pyr.levels[1].count)
         cin, cout = 3, 2
-        feats = rng.standard_normal((128, cin)).astype(np.float32)
+        feats = rng.standard_normal((256, cin)).astype(np.float32)
         feats[n1:] = 0.0
         W = rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.1
         got = sparse_conv(
