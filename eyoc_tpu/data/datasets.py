@@ -1,0 +1,461 @@
+"""Pair datasets — the reference's 11-dataset registry rebuilt
+(reference lib/data_loaders.py:716-1806).
+
+Each dataset reproduces the reference's pair-list construction *exactly*
+(same `np.random.seed(0)` draw sequences, same strides and pruning) so pair
+lists are bit-identical. `__getitem__` returns raw augmented clouds + GT
+pose; voxelization and GT correspondence search happen on the device inside
+the jitted step (see eyoc_tpu/training/pipeline.py) instead of in CPU
+workers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from eyoc_tpu.data.augment import augment_pair
+from eyoc_tpu.data.io import ConvertedStore, KittiOdometryStore
+
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+class PairDatasetBase:
+    """Common state (reference PairDataset, lib/data_loaders.py:103-141)."""
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        self.phase = phase
+        self.config = config
+        self.files: list = []
+        self.voxel_size = config.voxel_size
+        self.matching_search_voxel_size = (
+            config.voxel_size * config.positive_pair_search_voxel_size_multiplier
+        )
+        self.random_scale = random_scale
+        self.min_scale = config.min_scale
+        self.max_scale = config.max_scale
+        self.random_rotation = random_rotation
+        self.rotation_range = config.rotation_range
+        self.randg = np.random.RandomState()
+        self.reset_seed()
+        self.MIN_DIST = config.pair_min_dist
+        self.MAX_DIST = config.pair_max_dist
+        self.supervised = config.supervised
+        self.skip_initialization = bool(config.get("skip_initialization", False))
+
+    def reset_seed(self, seed=0):
+        self.randg.seed(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    # -- to be provided by subclasses
+    def _store(self):
+        raise NotImplementedError
+
+    def is_base_dataset(self) -> bool:
+        return self.MAX_DIST <= 1
+
+    def label_mode(self) -> str:
+        """Which correspondence labels the trainer should compute on device
+        (reference lib/data_loaders.py:948-957)."""
+        if self.MAX_DIST <= 1 and self.phase == "train" and not self.skip_initialization:
+            return "identity"
+        if self.phase != "train" or self.supervised:
+            return "gt"
+        return "none"
+
+    def __getitem__(self, idx):
+        drive, t0, t1 = self.files[idx]
+        store = self._store()
+        poses = store.poses(drive)
+        pos0, pos1 = poses[int(t0)], poses[int(t1)]
+        xyz0 = store.xyz(drive, t0)
+        xyz1 = store.xyz(drive, t1)
+        M2 = np.linalg.inv(pos1) @ pos0
+        xyz0, xyz1, trans, search = augment_pair(
+            xyz0, xyz1, M2, self.randg,
+            random_rotation=self.random_rotation,
+            rotation_range=np.pi / 4,
+            random_scale=self.random_scale,
+            min_scale=self.min_scale,
+            max_scale=self.max_scale,
+            search_voxel_size=self.matching_search_voxel_size,
+        )
+        return {
+            "xyz0": xyz0,
+            "xyz1": xyz1,
+            "T_gt": trans,
+            "frame_distance": int(t1) - int(t0),
+            "search_radius": search,
+            "meta": (drive, int(t0), int(t1)),
+        }
+
+
+# --------------------------------------------------------------------- KITTI
+
+
+def _split_file(name: str) -> str:
+    return os.path.join(_ASSET_DIR, name)
+
+
+class KittiNFramePairDataset(PairDatasetBase):
+    """Frame-interval pairs (reference lib/data_loaders.py:716-979)."""
+
+    DATA_FILES = {
+        "train": "train_kitti.txt",
+        "val": "val_kitti.txt",
+        "test": "test_kitti.txt",
+    }
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        super().__init__(phase, config, random_rotation, random_scale)
+        self.root = config.kitti_root + "/dataset"
+        self.store = KittiOdometryStore(self.root)
+        if phase == "test" and config.LoKITTI:
+            self.files = [tuple(r) for r in np.load(
+                os.path.join(_ASSET_DIR, "file_LoKITTI_50.npy"))]
+        else:
+            self.prepare_files(phase)
+        if config.percentage != 1.0:
+            self.files = self.files[: int(len(self.files) * config.percentage)]
+
+    def _store(self):
+        return self.store
+
+    def _drives(self, phase):
+        with open(_split_file(self.DATA_FILES[phase])) as f:
+            return [int(x) for x in f.read().split()]
+
+    def prepare_files(self, phase):
+        """Exact reference sampling loop (lib/data_loaders.py:757-791)."""
+        for drive_id in self._drives(phase):
+            inames = self.store.scan_ids(drive_id)
+            iname_set = set(inames)
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = max(
+                    1,
+                    int(self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)),
+                )
+                if (curr_time + dist_tmp) in iname_set:
+                    self.files.append((drive_id, curr_time, curr_time + dist_tmp))
+                    curr_time += 11
+                else:
+                    curr_time += 1
+
+
+class KittiRandDistPairDataset(KittiNFramePairDataset):
+    """Metric-distance pairs (reference lib/data_loaders.py:1393-1475)."""
+
+    def prepare_files(self, phase):
+        for drive_id in self._drives(phase):
+            inames = self.store.scan_ids(drive_id)
+            iname_set = set(inames)
+            Ts = self.store.poses(drive_id)[:, :3, 3]
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)
+                right = np.sqrt(
+                    ((Ts[curr_time: curr_time + int(10 * self.MAX_DIST)]
+                      - Ts[curr_time].reshape(1, 3)) ** 2).sum(-1)
+                )
+                beyond = np.where(right > dist_tmp)[0]
+                if len(beyond) == 0:
+                    curr_time += 1
+                else:
+                    next_time = beyond[0] + curr_time - 1
+                    if next_time in iname_set:
+                        self.files.append((drive_id, curr_time, next_time))
+                        curr_time += 11
+                    else:
+                        curr_time += 1
+        if phase == "test":
+            self.files = self.files[::3]
+
+
+class _ContinuousMixin:
+    """Progressive distance extension (reference lib/data_loaders.py:1583-1650)."""
+
+    def _init_continuous(self, config, phase):
+        self.FIRST_DIST = config.pair_min_dist
+        self.LAST_DIST = config.pair_max_dist
+        if phase == "train":
+            self.MIN_DIST = self.FIRST_DIST
+            self.MAX_DIST = self.FIRST_DIST
+            self.files = []
+            self.prepare_files(phase)
+        self.max_epoch = config.max_epoch - 1
+        self.last_altered_epoch = 0
+        if config.extension_steps > 0:
+            self.extension_epoch_interval = int(config.max_epoch / config.extension_steps)
+        else:
+            self.extension_epoch_interval = 1
+
+    def update_extension_distance(self, epoch):
+        if not (epoch - self.last_altered_epoch >= self.extension_epoch_interval):
+            return False
+        expected = int((self.LAST_DIST - self.FIRST_DIST) * (epoch / self.max_epoch)) + self.FIRST_DIST
+        if expected == self.MAX_DIST:
+            return False
+        self.MAX_DIST = expected
+        self.last_altered_epoch = epoch
+        self.files = []
+        self.prepare_files(self.phase)
+        return self.MAX_DIST
+
+    def is_base_dataset(self):
+        return self.MAX_DIST == 1
+
+
+class KittiContinuousFramePairDataset(_ContinuousMixin, KittiNFramePairDataset):
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        KittiNFramePairDataset.__init__(self, phase, config, random_rotation, random_scale)
+        self._init_continuous(config, phase)
+
+
+# --------------------------------------------------------- nuScenes (converted)
+
+
+class NuscenesNFramePairDataset(PairDatasetBase):
+    """reference lib/data_loaders.py:982-1183; root = kitti_root/<phase>."""
+
+    stride_after_accept = 8
+    point_floats = 4
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        super().__init__(phase, config, random_rotation, random_scale)
+        self.root = os.path.join(config.kitti_root, phase)
+        self.store = ConvertedStore(self.root, point_floats=self.point_floats)
+        if phase == "test" and config.get("LoNUSCENES", False):
+            self.files = [tuple(r) for r in np.load(
+                os.path.join(_ASSET_DIR, "file_LoNUSCENES_50.npy"), allow_pickle=True)]
+        else:
+            self.prepare_files(phase)
+        if config.percentage != 1.0:
+            self.files = self.files[: int(len(self.files) * config.percentage)]
+
+    def _store(self):
+        return self.store
+
+    def prepare_files(self, phase):
+        """Frame-interval sampling with the 100 m discontinuity guard
+        (reference lib/data_loaders.py:1019-1057)."""
+        for dirname in self.store.sequence_names():
+            inames = self.store.scan_ids(dirname)
+            iname_set = set(inames)
+            Ts = self.store.poses(dirname)[:, :3, 3]
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = max(
+                    1,
+                    int(self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)),
+                )
+                if (curr_time + dist_tmp) in iname_set:
+                    next_time = curr_time + dist_tmp
+                    if np.linalg.norm(Ts[curr_time] - Ts[next_time]) > 100:
+                        curr_time += 1
+                    else:
+                        self.files.append((dirname, curr_time, next_time))
+                        curr_time += self.stride_after_accept
+                else:
+                    curr_time += 1
+
+
+class NuscenesRandDistPairDataset(NuscenesNFramePairDataset):
+    def prepare_files(self, phase):
+        for dirname in self.store.sequence_names():
+            inames = self.store.scan_ids(dirname)
+            iname_set = set(inames)
+            Ts = self.store.poses(dirname)[:, :3, 3]
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)
+                right = np.sqrt(
+                    ((Ts[curr_time: curr_time + int(10 * self.MAX_DIST)]
+                      - Ts[curr_time].reshape(1, 3)) ** 2).sum(-1)
+                )
+                beyond = np.where(right > dist_tmp)[0]
+                if len(beyond) == 0:
+                    curr_time += 1
+                else:
+                    next_time = beyond[0] + curr_time - 1
+                    if next_time in iname_set and np.linalg.norm(
+                        Ts[curr_time] - Ts[next_time]
+                    ) <= 100:
+                        self.files.append((dirname, curr_time, next_time))
+                        curr_time += 11
+                    else:
+                        curr_time += 1
+        if phase == "test":
+            self.files = self.files[::3]
+
+
+class NuscenesContinuousFramePairDataset(_ContinuousMixin, NuscenesNFramePairDataset):
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        NuscenesNFramePairDataset.__init__(self, phase, config, random_rotation, random_scale)
+        self._init_continuous(config, phase)
+
+
+# ------------------------------------------------------------ WOD (converted)
+
+
+class WaymoNFramePairDataset(PairDatasetBase):
+    """reference lib/data_loaders.py:1187-1390; xyz-only bins, [::4] pruning."""
+
+    phase_dir_mapping = {"train": "training", "val": "validation", "test": "testing"}
+    stride_after_accept = 8
+    point_floats = 3
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        super().__init__(phase, config, random_rotation, random_scale)
+        self.root = os.path.join(config.kitti_root, self.phase_dir_mapping[phase])
+        self.store = ConvertedStore(self.root, point_floats=self.point_floats)
+        if phase == "test" and config.get("LoWAYMO", False):
+            raise NotImplementedError("LoWAYMO has yet to be built (reference parity)")
+        self.prepare_files(phase)
+        if config.percentage != 1.0:
+            self.files = self.files[: int(len(self.files) * config.percentage)]
+
+    def _store(self):
+        return self.store
+
+    def prepare_files(self, phase):
+        for dirname in self.store.sequence_names():
+            inames = self.store.scan_ids(dirname)
+            iname_set = set(inames)
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = max(
+                    1,
+                    int(self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)),
+                )
+                if (curr_time + dist_tmp) in iname_set:
+                    self.files.append((dirname, curr_time, curr_time + dist_tmp))
+                    curr_time += self.stride_after_accept
+                else:
+                    curr_time += 1
+        if phase in ("train", "val"):
+            self.files = self.files[::4]
+
+
+class WaymoRandDistPairDataset(WaymoNFramePairDataset):
+    def prepare_files(self, phase):
+        for dirname in self.store.sequence_names():
+            inames = self.store.scan_ids(dirname)
+            iname_set = set(inames)
+            Ts = self.store.poses(dirname)[:, :3, 3]
+            curr_time = inames[0]
+            np.random.seed(0)
+            while curr_time in iname_set:
+                dist_tmp = self.MIN_DIST + np.random.rand() * (self.MAX_DIST - self.MIN_DIST)
+                right = np.sqrt(
+                    ((Ts[curr_time: curr_time + int(10 * self.MAX_DIST)]
+                      - Ts[curr_time].reshape(1, 3)) ** 2).sum(-1)
+                )
+                beyond = np.where(right > dist_tmp)[0]
+                if len(beyond) == 0:
+                    curr_time += 1
+                else:
+                    next_time = beyond[0] + curr_time - 1
+                    if next_time in iname_set:
+                        self.files.append((dirname, curr_time, next_time))
+                        curr_time += 11
+                    else:
+                        curr_time += 1
+        if phase == "test":
+            self.files = self.files[::3]
+
+
+class WaymoContinuousFramePairDataset(_ContinuousMixin, WaymoNFramePairDataset):
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        WaymoNFramePairDataset.__init__(self, phase, config, random_rotation, random_scale)
+        self._init_continuous(config, phase)
+
+
+# ------------------------------------------------------------------ synthetic
+
+
+class SyntheticPairDataset(PairDatasetBase):
+    """KITTI-like synthetic LiDAR pairs for tests and hardware benchmarks.
+
+    Generates a structured 'scene' (ground plane + walls + scattered
+    objects), simulates two scans from poses `dist` apart with partial
+    overlap and per-scan visibility, so the full registration pipeline can
+    be exercised end-to-end without data on disk.
+    """
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=False,
+                 n_pairs=64, n_points=65536, dist=None):
+        super().__init__(phase, config, random_rotation, random_scale)
+        self.n_points = n_points
+        self.dist = dist if dist is not None else max(5.0, float(config.pair_max_dist))
+        self.files = [(0, i, i + 1) for i in range(n_pairs)]
+
+    @staticmethod
+    def make_scene(rng, n, extent=90.0):
+        n_ground = n // 2
+        ground = np.stack([
+            rng.uniform(-extent, extent, n_ground),
+            rng.uniform(-extent, extent, n_ground),
+            rng.normal(0.0, 0.05, n_ground) - 1.7,
+        ], -1)
+        n_obj = n - n_ground
+        centers = rng.uniform(-extent, extent, (64, 3)) * np.array([1, 1, 0.02])
+        sizes = rng.uniform(0.5, 6.0, (64, 3))
+        which = rng.integers(0, 64, n_obj)
+        objs = centers[which] + rng.uniform(-1, 1, (n_obj, 3)) * sizes[which]
+        return np.concatenate([ground, objs]).astype(np.float32)
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(1000 + idx)
+        scene = self.make_scene(rng, self.n_points * 2)
+        # two sensor poses `dist` apart along x with small heading change
+        d = self.dist
+        yaw = rng.uniform(-0.3, 0.3)
+        c, s = np.cos(yaw), np.sin(yaw)
+        pos0 = np.eye(4); pos0[:3, 3] = (0, 0, 0)
+        pos1 = np.eye(4)
+        pos1[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        pos1[:3, 3] = (d, rng.uniform(-2, 2), 0)
+
+        def scan(pose):
+            inv = np.linalg.inv(pose)
+            local = scene @ inv[:3, :3].T + inv[:3, 3]
+            r = np.linalg.norm(local[:, :2], axis=1)
+            vis = (r < 80.0) & (r > 2.0)
+            pts = local[vis]
+            pick = rng.permutation(len(pts))[: self.n_points]
+            pts = pts[pick] + rng.normal(0, 0.02, (len(pick), 3))
+            return pts.astype(np.float32)
+
+        xyz0, xyz1 = scan(pos0), scan(pos1)
+        M2 = np.linalg.inv(pos1) @ pos0
+        xyz0, xyz1, trans, search = augment_pair(
+            xyz0, xyz1, M2, self.randg,
+            random_rotation=self.random_rotation,
+            random_scale=self.random_scale,
+            min_scale=self.min_scale, max_scale=self.max_scale,
+            search_voxel_size=self.matching_search_voxel_size,
+        )
+        return {
+            "xyz0": xyz0, "xyz1": xyz1, "T_gt": trans,
+            "frame_distance": max(1, int(self.dist)),
+            "search_radius": search, "meta": (0, idx, idx + 1),
+        }
+
+
+ALL_DATASETS = [
+    KittiNFramePairDataset, NuscenesNFramePairDataset, WaymoNFramePairDataset,
+    KittiRandDistPairDataset, NuscenesRandDistPairDataset, WaymoRandDistPairDataset,
+    KittiContinuousFramePairDataset, NuscenesContinuousFramePairDataset,
+    WaymoContinuousFramePairDataset, SyntheticPairDataset,
+]
+dataset_str_mapping = {d.__name__: d for d in ALL_DATASETS}

@@ -1,0 +1,214 @@
+"""SC2-PCR: second-order spatial-compatibility registration, on device.
+
+Re-derivation of the reference Matcher (reference scripts/SC2_PCR/SC2_PCR.py:
+7-413) as a single statically-shaped, mask-aware jax function:
+
+- power-iteration leading eigenvector (cal_leading_eigenvector, :170-196)
+  with a fixed iteration count (the reference's allclose early-exit is a
+  dynamic-shape hazard and numerically irrelevant at 20 iterations)
+- NMS seed picking (pick_seeds, :33-59)
+- SC^2 measure on seed rows (:357-363)
+- two-stage consensus (k1 -> local SC^2 -> k2) + per-seed weighted Kabsch +
+  inlier-count fitness argmax (cal_seed_trans, :61-168)
+- IRLS post-refinement with the reference's Cauchy-like weights and
+  inlier-count convergence stop (post_refinement, :238-278)
+
+The per-seed CPU `torch.svd` of the reference (common.py:36) becomes a
+batched on-device Horn-quaternion Kabsch. Batch of pairs via `jax.lax.map`
+(sequential — bounds the N^2 memory exactly like the reference's per-item
+python loop at lib/trainer.py:1157, but inside one compiled program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eyoc_tpu.geometry.se3 import transform_points
+from eyoc_tpu.geometry.svd3 import kabsch
+from eyoc_tpu.ops.knn import masked_argmin
+
+
+@dataclasses.dataclass(frozen=True)
+class SC2PCRConfig:
+    """Mirrors scripts/SC2_PCR/config_json/config_KITTI.json."""
+
+    d_thre: float = 0.1
+    num_iterations: int = 20
+    ratio: float = 0.2
+    nms_radius: float = 0.6
+    max_points: int = 8000
+    k1: int = 30
+    k2: int = 20
+    inlier_threshold: float = 0.6
+    seed_cap: int | None = None  # static seed count; default int(max_points*ratio)
+
+    @property
+    def num_seeds(self) -> int:
+        return self.seed_cap or int(self.max_points * self.ratio)
+
+
+def _power_iteration(M: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Leading eigenvector of [..., n, n]; returns [..., n]."""
+    v = jnp.ones(M.shape[:-1] + (1,), M.dtype)
+
+    def body(_, v):
+        v = M @ v
+        return v / (jnp.linalg.norm(v, axis=-2, keepdims=True) + 1e-6)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    return v[..., 0]
+
+
+def _pick_seeds(src_dist, scores, radius, num_seeds):
+    """NMS seed selection (reference pick_seeds, SC2_PCR.py:33-59)."""
+    relation = (scores[:, None] >= scores[None, :]) | (src_dist >= radius)
+    is_local_max = jnp.min(relation, axis=-1).astype(scores.dtype)
+    local_scores = scores * is_local_max
+    _, seeds = jax.lax.top_k(local_scores, num_seeds)
+    seed_ok = jnp.take(local_scores, seeds) > 0
+    return seeds.astype(jnp.int32), seed_ok
+
+
+def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
+    """Two-stage consensus + per-seed Kabsch (reference cal_seed_trans)."""
+    k1, k2 = cfg.k1, cfg.k2
+    # stage 1: k1 best columns per seed (invalid columns forced below any valid)
+    SC2 = jnp.where(valid[None, :], SC2, -1.0)
+    _, knn_idx = jax.lax.top_k(SC2, k1)                      # [S, k1]
+    nbr_ok = jnp.take(valid, knn_idx)                        # [S, k1]
+    src_knn = jnp.take(src, knn_idx, axis=0)                 # [S, k1, 3]
+    tgt_knn = jnp.take(tgt, knn_idx, axis=0)
+    sd = jnp.linalg.norm(src_knn[:, :, None] - src_knn[:, None, :], axis=-1)
+    td = jnp.linalg.norm(tgt_knn[:, :, None] - tgt_knn[:, None, :], axis=-1)
+    cross = jnp.abs(sd - td)
+    pair_ok = nbr_ok[:, :, None] & nbr_ok[:, None, :]
+    local_hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.float32)
+    local_sc2 = (local_hard[:, :1, :] @ local_hard)[:, 0, :]  # [S, k1]
+
+    # stage 2: k2 best of the seed-row local SC2
+    local_sc2 = jnp.where(nbr_ok, local_sc2, -1.0)
+    _, fine_sel = jax.lax.top_k(local_sc2, k2)               # [S, k2]
+    fine_ok = jnp.take_along_axis(nbr_ok, fine_sel, axis=1)  # [S, k2]
+    src_fine = jnp.take_along_axis(src_knn, fine_sel[..., None], axis=1)
+    tgt_fine = jnp.take_along_axis(tgt_knn, fine_sel[..., None], axis=1)
+
+    sd = jnp.linalg.norm(src_fine[:, :, None] - src_fine[:, None, :], axis=-1)
+    td = jnp.linalg.norm(tgt_fine[:, :, None] - tgt_fine[:, None, :], axis=-1)
+    cross = jnp.abs(sd - td)
+    # soft first-order measure on the consensus set (reference :127-131;
+    # the hard second-order product there is computed then discarded)
+    local_sc = jnp.clip(1.0 - cross**2 / cfg.d_thre**2, 0.0, None)
+    fine_pair_ok = fine_ok[:, :, None] & fine_ok[:, None, :]
+    local_sc = jnp.where(fine_pair_ok, local_sc, 0.0)
+    eye = jnp.eye(k2, dtype=bool)
+    local_sc = jnp.where(eye[None], 0.0, local_sc)           # zero diagonal (:135)
+
+    w = _power_iteration(local_sc, cfg.num_iterations)       # [S, k2]
+    w = jnp.abs(w) * fine_ok
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
+
+    trans = kabsch(src_fine, tgt_fine, w)                    # [S, 4, 4]
+
+    # fitness: inliers over the full correspondence set (:150-162)
+    pred = jnp.einsum("sij,nj->sni", trans[:, :3, :3], src) + trans[:, None, :3, 3]
+    dist = jnp.linalg.norm(pred - tgt[None], axis=-1)
+    fit = jnp.sum(((dist < cfg.inlier_threshold) & valid[None]).astype(jnp.float32), -1)
+    fit = jnp.where(seed_ok, fit, -1.0)
+    best = jnp.argmax(fit)
+    return trans[best], fit
+
+
+def _post_refine(cfg, trans, src, tgt, valid, it_num: int = 20):
+    """IRLS refinement with inlier-count convergence (reference :238-278)."""
+    thr = 0.10 if cfg.inlier_threshold == 0.10 else 1.2
+
+    def cond(state):
+        _, prev, cur, it = state
+        return (it < it_num) & ((it == 0) | (jnp.abs(cur - prev) >= 1))
+
+    def body(state):
+        trans, _, cur, it = state
+        warped = transform_points(src, trans)
+        dist = jnp.linalg.norm(warped - tgt, axis=-1)
+        inlier = (dist < thr) & valid
+        w = (1.0 / (1.0 + (dist / thr) ** 2)) * inlier
+        new_trans = kabsch(src[None], tgt[None], w[None])[0]
+        new_count = jnp.sum(inlier.astype(jnp.int32))
+        # keep the previous trans if this round had no inliers at all
+        new_trans = jnp.where(new_count > 0, new_trans, trans)
+        return new_trans, cur, new_count, it + 1
+
+    state = (trans, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sc2_pcr(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: SC2PCRConfig = SC2PCRConfig(),
+):
+    """Register one padded correspondence set.
+
+    src/tgt: [N, 3] matched coordinates (N <= cfg.max_points buffers);
+    valid: [N] bool. Returns (trans [4,4], fitness [num_seeds]).
+    """
+    n = src.shape[0]
+    assert n <= cfg.max_points, "pre-truncate with compact_matches"
+    vf = valid.astype(jnp.float32)
+    pair_ok = valid[:, None] & valid[None, :]
+
+    src_dist = jnp.linalg.norm(src[:, None] - src[None, :], axis=-1)
+    tgt_dist = jnp.linalg.norm(tgt[:, None] - tgt[None, :], axis=-1)
+    cross = jnp.abs(src_dist - tgt_dist)
+
+    sc = jnp.clip(1.0 - cross**2 / cfg.d_thre**2, 0.0, None) * pair_ok
+    hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.float32)
+    hard_tight = ((cross < cfg.d_thre / 2.0) & pair_ok).astype(jnp.float32)
+
+    confidence = _power_iteration(sc, cfg.num_iterations) * vf
+    num_seeds = min(cfg.num_seeds, n)
+    # NMS over infinite distance for invalid entries never suppresses valid ones
+    src_dist_nms = jnp.where(pair_ok, src_dist, jnp.inf)
+    seeds, seed_ok = _pick_seeds(src_dist_nms, confidence, cfg.nms_radius, num_seeds)
+
+    seed_tight = jnp.take(hard_tight, seeds, axis=0)          # [S, N]
+    seed_hard = jnp.take(hard, seeds, axis=0)
+    SC2 = (seed_tight @ hard_tight) * seed_hard               # [S, N]
+
+    trans, fitness = _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid)
+    trans = _post_refine(cfg, trans, src, tgt, valid)
+    return trans, fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "knn_tile"))
+def sc2_pcr_estimator(
+    src_xyz: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_feat: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    cfg: SC2PCRConfig = SC2PCRConfig(),
+    knn_tile: int = 512,
+):
+    """Full estimator: feature argmin matching -> SC2-PCR
+    (reference Matcher.estimator, SC2_PCR.py:386-413).
+
+    Returns (trans [4,4], inlier_labels [N], fitness).
+    """
+    _, nn = masked_argmin(src_feat, src_mask, tgt_feat, tgt_mask, tile=knn_tile)
+    src_corr = src_xyz
+    tgt_corr = jnp.take(tgt_xyz, nn, axis=0)
+    valid = src_mask
+    trans, fitness = sc2_pcr(src_corr, tgt_corr, valid, cfg)
+    warped = transform_points(src_corr, trans)
+    dist = jnp.linalg.norm(warped - tgt_corr, axis=-1)
+    labels = ((dist < cfg.inlier_threshold) & valid).astype(jnp.float32)
+    return trans, labels, fitness

@@ -1,0 +1,156 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eyoc_tpu.geometry import registration_success, rotation_from_axis_angle
+from eyoc_tpu.registration import (
+    SC2PCRConfig,
+    sc2_pcr,
+    sc2_pcr_estimator,
+    RansacConfig,
+    ransac_registration,
+)
+from eyoc_tpu.ops import mutual_topk_matches, spatial_filter_mask, compact_matches
+from eyoc_tpu.ops.knn import masked_knn
+
+
+def make_problem(seed, n=512, outlier_frac=0.6, extent=40.0, noise=0.02):
+    rng = np.random.default_rng(seed)
+    src = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    axis = rng.standard_normal(3)
+    angle = rng.uniform(-np.pi, np.pi)
+    R = np.asarray(rotation_from_axis_angle(jnp.asarray(axis, jnp.float32), jnp.float32(angle)))
+    t = rng.uniform(-15, 15, 3).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3], T[:3, 3] = R, t
+    tgt = src @ R.T + t + rng.normal(0, noise, (n, 3)).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    tgt[out_idx] = rng.uniform(-extent, extent, (n_out, 3))
+    return src, tgt, T
+
+
+CFG = SC2PCRConfig(max_points=512, seed_cap=128)
+
+
+class TestSC2PCR:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_recovers_pose_with_outliers(self, seed):
+        src, tgt, T = make_problem(seed)
+        trans, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), CFG)
+        ok, te, re = registration_success(trans, jnp.asarray(T))
+        assert bool(ok), (float(te), float(re))
+        assert float(te) < 0.1 and float(re) < 0.5
+
+    def test_mask_respected(self):
+        src, tgt, T = make_problem(3, n=512, outlier_frac=0.3)
+        # garbage beyond 400, masked out
+        src[400:] = 0.0
+        tgt[400:] = 1e3
+        valid = np.arange(512) < 400
+        trans, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(valid), CFG)
+        ok, _, _ = registration_success(trans, jnp.asarray(T))
+        assert bool(ok)
+
+    def test_estimator_from_features(self):
+        rng = np.random.default_rng(4)
+        src, tgt, T = make_problem(4, n=512, outlier_frac=0.0, noise=0.01)
+        f = rng.standard_normal((512, 16)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        f_tgt = f + rng.normal(0, 0.05, f.shape).astype(np.float32)
+        f_tgt /= np.linalg.norm(f_tgt, axis=1, keepdims=True)
+        perm = rng.permutation(512)
+        trans, labels, _ = sc2_pcr_estimator(
+            jnp.asarray(src), jnp.asarray(f), jnp.ones(512, bool),
+            jnp.asarray(tgt[perm]), jnp.asarray(f_tgt[perm]), jnp.ones(512, bool),
+            CFG,
+        )
+        ok, _, _ = registration_success(trans, jnp.asarray(T))
+        assert bool(ok)
+        assert float(jnp.mean(labels)) > 0.8
+
+
+class TestRansac:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_recovers_pose(self, seed):
+        src, tgt, T = make_problem(seed, n=512, outlier_frac=0.5)
+        # compact: all valid already
+        trans, inliers = ransac_registration(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool),
+            jax.random.PRNGKey(seed),
+            RansacConfig(num_hypotheses=2048, distance_threshold=0.3, hyp_chunk=256),
+        )
+        ok, te, re = registration_success(trans, jnp.asarray(T))
+        assert bool(ok), (float(te), float(re))
+        assert int(inliers) > 200
+
+
+class TestMatchingOps:
+    def test_masked_knn_matches_numpy(self):
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((100, 8)).astype(np.float32)
+        r = rng.standard_normal((300, 8)).astype(np.float32)
+        rmask = np.arange(300) < 250
+        d2, idx = masked_knn(
+            jnp.asarray(q), jnp.ones(100, bool), jnp.asarray(r), jnp.asarray(rmask),
+            k=2, tile=32,
+        )
+        full = ((q[:, None] - r[None]) ** 2).sum(-1)
+        full[:, 250:] = np.inf
+        order = np.argsort(full, axis=1)
+        np.testing.assert_array_equal(np.asarray(idx[:, 0]), order[:, 0])
+        np.testing.assert_array_equal(np.asarray(idx[:, 1]), order[:, 1])
+        np.testing.assert_allclose(
+            np.asarray(d2[:, 0]), np.take_along_axis(full, order[:, :1], 1)[:, 0],
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_mutual_topk_on_identical_features(self):
+        rng = np.random.default_rng(6)
+        f = rng.standard_normal((200, 16)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        perm = rng.permutation(200)
+        idx0, idx1, w, valid = mutual_topk_matches(
+            jnp.asarray(f), jnp.ones(200, bool),
+            jnp.asarray(f[perm]), jnp.ones(200, bool),
+            num_corres=100, knn_tile=64,
+        )
+        idx0, idx1, valid = map(np.asarray, (idx0, idx1, valid))
+        # every valid match must be a true correspondence: perm[idx1] == idx0
+        hits = perm[idx1[valid]] == idx0[valid]
+        assert hits.mean() > 0.95
+
+    def test_spherical_filter(self):
+        xyz0 = np.array([[30, 0, 0], [5, 0, 0], [25, 0, 0]], np.float32)
+        xyz1 = np.array([[25, 0, 0], [30, 0, 0], [3, 0, 0]], np.float32)
+        m = spatial_filter_mask(
+            jnp.asarray(xyz0), jnp.asarray(xyz1),
+            spatial_filter="Spherical", radius=20.0,
+        )
+        np.testing.assert_array_equal(np.asarray(m), [True, False, False])
+
+    def test_similarity_filter_runs(self):
+        from eyoc_tpu.ops import load_similarity_tables
+
+        tables = load_similarity_tables("kitti")
+        rng = np.random.default_rng(7)
+        xyz0 = rng.uniform(-60, 60, (500, 3)).astype(np.float32)
+        xyz1 = rng.uniform(-60, 60, (500, 3)).astype(np.float32)
+        m = spatial_filter_mask(
+            jnp.asarray(xyz0), jnp.asarray(xyz1),
+            spatial_filter="Similarity", similarity=tables,
+            similarity_thresh=0.6, frame_distance=jnp.int32(12),
+        )
+        m = np.asarray(m)
+        assert m.dtype == bool and m.shape == (500,)
+        assert 0 < m.sum() < 500  # filter actually separates
+
+    def test_compact_matches(self):
+        idx0 = jnp.arange(10, dtype=jnp.int32)
+        idx1 = jnp.arange(10, 20, dtype=jnp.int32)
+        valid = jnp.asarray([0, 1, 0, 1, 1, 0, 0, 1, 0, 1], bool)
+        a, b, v = compact_matches(idx0, idx1, valid, capacity=4)
+        np.testing.assert_array_equal(np.asarray(a), [1, 3, 4, 7])
+        np.testing.assert_array_equal(np.asarray(b), [11, 13, 14, 17])
+        assert np.all(np.asarray(v))
