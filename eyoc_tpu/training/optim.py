@@ -1,0 +1,52 @@
+"""torch-semantics SGD + exponential LR — checkpoint/behavior parity with the
+reference optimizer setup (reference lib/trainer.py:80-87):
+    grad <- grad + weight_decay * param
+    buf  <- momentum * buf + grad          (no dampening; torch default)
+    param <- param - lr * buf
+LR schedule: lr_epoch = lr0 * exp_gamma^(epoch-1)  (ExponentialLR stepped
+once per epoch; epochs start at 1, reference lib/trainer.py:141-146).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SGDState(NamedTuple):
+    momentum_buf: dict
+
+
+def sgd_init(params) -> SGDState:
+    return SGDState(jax.tree_util.tree_map(jnp.zeros_like, params))
+
+
+def sgd_update(params, grads, state: SGDState, *, lr, momentum=0.8, weight_decay=1e-4):
+    def upd(p, g, b):
+        g = g + weight_decay * p
+        b = momentum * b + g
+        return p - lr * b, b
+
+    flat = jax.tree_util.tree_map(upd, params, grads, state.momentum_buf)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], flat,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+    new_buf = jax.tree_util.tree_map(lambda t: t[1], flat,
+                                     is_leaf=lambda t: isinstance(t, tuple))
+    return new_params, SGDState(new_buf)
+
+
+def exp_lr(base_lr: float, gamma: float, epoch: int) -> float:
+    """epoch is 1-based; matches torch ExponentialLR stepped per epoch."""
+    return base_lr * (gamma ** (epoch - 1))
+
+
+def ema_update(labeler_params, model_params, decay: float, num_updates: int):
+    """Debiased EMA labeler sync (reference lib/trainer.py:1509-1514):
+    labeler <- (decay * labeler + (1 - decay) * model) / (1 - decay^n)."""
+    debias = 1.0 - decay ** num_updates
+    return jax.tree_util.tree_map(
+        lambda l, m: (decay * l + (1.0 - decay) * m) / debias,
+        labeler_params, model_params,
+    )

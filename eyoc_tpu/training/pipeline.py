@@ -1,0 +1,110 @@
+"""Device-side batch preprocessing: pad -> voxelize -> pyramid -> labels.
+
+The reference performs voxelization, GT radius matching and collation in
+CPU DataLoader workers (reference lib/data_loaders.py:892-979, 31-85).
+Here the raw padded clouds go straight to the device and everything is part
+of the jitted step — on a 1-vCPU host this is the difference between a
+starved accelerator and a saturated one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eyoc_tpu.geometry.se3 import transform_points
+from eyoc_tpu.ops.knn import masked_argmin
+from eyoc_tpu.sparse.pyramid import build_pyramid
+from eyoc_tpu.sparse.types import SparsePyramid, VoxelizedCloud
+from eyoc_tpu.sparse.voxelize import voxelize
+
+
+class RawBatch(NamedTuple):
+    """Host-assembled input batch (all numpy -> device arrays)."""
+
+    xyz0: jnp.ndarray        # [B, P, 3] f32 padded raw clouds
+    n0: jnp.ndarray          # [B] int32 true point counts
+    xyz1: jnp.ndarray        # [B, P, 3]
+    n1: jnp.ndarray          # [B]
+    T_gt: jnp.ndarray        # [B, 4, 4]
+    frame_distance: jnp.ndarray  # [B] int32
+    search_radius: jnp.ndarray   # [B] f32 (scale-adjusted GT match radius)
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "voxel_size", "conv1_kernel_size"))
+def preprocess_clouds(
+    xyz: jnp.ndarray,
+    counts: jnp.ndarray,
+    *,
+    caps: Tuple[int, ...],
+    voxel_size: float,
+    conv1_kernel_size: int,
+) -> Tuple[VoxelizedCloud, SparsePyramid]:
+    """Voxelize + build pyramids for a batch of raw clouds [B, P, 3]."""
+    P = xyz.shape[1]
+    pmask = jnp.arange(P)[None, :] < counts[:, None]
+
+    def one(x, m):
+        vox = voxelize(x, m, voxel_size, caps[0])
+        pyr = build_pyramid(vox, caps, conv1_kernel_size=conv1_kernel_size)
+        return vox, pyr
+
+    return jax.vmap(one)(xyz, pmask)
+
+
+def gt_positive_pairs(
+    vox0: VoxelizedCloud,
+    vox1: VoxelizedCloud,
+    trans: jnp.ndarray,
+    search_radius: jnp.ndarray,
+    *,
+    knn_tile: int = 512,
+):
+    """Device GT correspondences: warp voxel representatives of cloud0 by
+    `trans`, 1-NN into cloud1, keep within `search_radius`.
+
+    Replaces the reference's per-point Open3D KDTree radius loop
+    (util/pointcloud.py:53-66). One pair per source voxel (nearest within
+    radius) instead of all radius neighbors — the loss subsamples anyway.
+
+    Batched inputs ([B, CAP, ...]); returns (idx0, idx1, valid): [B, CAP].
+    """
+
+    def one(x0, m0, x1, m1, T, r):
+        warped = transform_points(x0, T)
+        d2, nn = masked_argmin(warped, m0, x1, m1, tile=knn_tile)
+        ok = m0 & (d2 < r * r)
+        cap = x0.shape[0]
+        return jnp.arange(cap, dtype=jnp.int32), nn, ok
+
+    return jax.vmap(one)(
+        vox0.xyz, vox0.mask, vox1.xyz, vox1.mask, trans, search_radius
+    )
+
+
+def flatten_pairs(idx0, idx1, valid, cap0: int, cap1: int):
+    """Per-item pair indices [B, M] -> flat collated indices [B*M] into the
+    [B*CAP] feature layout (the reference's cumulative-bias re-collation,
+    lib/trainer.py:1091-1106, for our fixed-slice layout)."""
+    B = idx0.shape[0]
+    bias0 = (jnp.arange(B, dtype=jnp.int32) * cap0)[:, None]
+    bias1 = (jnp.arange(B, dtype=jnp.int32) * cap1)[:, None]
+    return (
+        (idx0 + bias0).reshape(-1),
+        (idx1 + bias1).reshape(-1),
+        valid.reshape(-1),
+    )
+
+
+def random_subsample_mask(key, mask, n: int):
+    """Boolean mask selecting up to n random valid entries (per the
+    reference's 5000-point random_sample, scripts/test_kitti.py:54-73)."""
+    cap = mask.shape[0]
+    noise = jax.random.uniform(key, (cap,))
+    noise = jnp.where(mask, noise, 2.0)
+    _, top = jax.lax.top_k(-noise, n)
+    sel = jnp.zeros((cap,), bool).at[top].set(True)
+    return sel & mask

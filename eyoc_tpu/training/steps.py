@@ -1,0 +1,357 @@
+"""Jitted train / validation / test steps.
+
+Each step is ONE statically-shaped XLA program covering what the reference
+spreads across CPU workers, 4 GPU forward passes, python loops and a CPU SVD
+(reference call stack SURVEY.md §3.1): device voxelization + pyramids,
+student & labeler forwards, matching + filtering, SC2-PCR self-labeling,
+hardest-contrastive loss, backward, SGD update.
+
+SC2-PCR failure tolerance: the reference try/excepts per item
+(lib/trainer.py:1596-1604); here items whose filtered correspondence count
+or fitness is degenerate simply get their positive pairs masked out of the
+loss — same effect, no dynamic control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from eyoc_tpu.geometry.metrics import corr_dist, hit_ratio, rre_deg, rte
+from eyoc_tpu.geometry.robust import est_quad_linear_robust
+from eyoc_tpu.geometry.se3 import transform_points
+from eyoc_tpu.models import apply_unet
+from eyoc_tpu.models.unet import UNetSpec
+from eyoc_tpu.ops.knn import masked_argmin
+from eyoc_tpu.ops.matching import (
+    SimilarityTables,
+    compact_matches,
+    mutual_topk_matches,
+    spatial_filter_mask,
+)
+from eyoc_tpu.registration.ransac import RansacConfig, ransac_registration
+from eyoc_tpu.registration.sc2pcr import SC2PCRConfig, sc2_pcr, sc2_pcr_estimator
+from eyoc_tpu.training.loss import (
+    hardest_contrastive_loss,
+    hardest_triplet_loss,
+    random_negative_contrastive_loss,
+    triplet_loss,
+)
+from eyoc_tpu.training.optim import SGDState, sgd_init, sgd_update
+from eyoc_tpu.training.pipeline import (
+    RawBatch,
+    flatten_pairs,
+    gt_positive_pairs,
+    preprocess_clouds,
+)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    bn_state: dict
+    opt: SGDState
+    labeler_params: dict          # mirrors params; inert until extension mode
+    labeler_bn_state: dict
+    num_updates: jnp.ndarray      # [] int32 EMA update counter
+    key: jax.Array
+
+
+def init_train_state(params, bn_state, key) -> TrainState:
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt=sgd_init(params),
+        labeler_params=jax.tree_util.tree_map(lambda x: x.copy(), params),
+        labeler_bn_state=jax.tree_util.tree_map(lambda x: x.copy(), bn_state),
+        num_updates=jnp.int32(0),
+        key=key,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration compiled into the step programs."""
+
+    spec: UNetSpec
+    caps: tuple
+    voxel_size: float
+    conv1_kernel_size: int
+    bn_momentum: float = 0.05
+    conv_group: int = 4
+    knn_tile: int = 512
+    # loss (reference scales per-batch counts by batch size, trainer.py:1658-1663)
+    num_pos: int = 8192
+    num_hn_samples: int = 2048
+    pos_thresh: float = 0.1
+    neg_thresh: float = 1.4
+    neg_weight: float = 1.0
+    momentum: float = 0.8
+    weight_decay: float = 1e-4
+    # labeling
+    num_corres: int = 5000
+    feature_filter: str = "Lowe"
+    spatial_filter: str = "Spherical"
+    filter_radius: float = 20.0
+    similarity_thresh: float = 0.4
+    use_sc2_filtering: bool = True
+    sc2: SC2PCRConfig = SC2PCRConfig()
+    rediscovery_samples: int = 5000
+    rediscovery_radius: float = 2.0   # "within 2 m" (lib/trainer.py:1211)
+    hit_ratio_thresh: float = 0.1
+    normalize_feature: bool = True
+    axis_name: Optional[str] = None   # set to "dp" under shard_map
+    eval_sample_points: int = 5000
+
+
+class StepBuilder:
+    def __init__(self, cfg: StepConfig, similarity: SimilarityTables | None = None):
+        self.cfg = cfg
+        self.similarity = similarity
+
+    # ------------------------------------------------------------- forward
+
+    def _forward(self, params, bn_state, pyr, *, training):
+        c = self.cfg
+        return apply_unet(
+            c.spec, params, bn_state, pyr,
+            training=training, bn_momentum=c.bn_momentum,
+            axis_name=c.axis_name if training else None,
+            normalize_feature=c.normalize_feature, conv_group=c.conv_group,
+        )
+
+    def _preprocess(self, batch: RawBatch):
+        c = self.cfg
+        vox0, pyr0 = preprocess_clouds(
+            batch.xyz0, batch.n0, caps=c.caps,
+            voxel_size=c.voxel_size, conv1_kernel_size=c.conv1_kernel_size)
+        vox1, pyr1 = preprocess_clouds(
+            batch.xyz1, batch.n1, caps=c.caps,
+            voxel_size=c.voxel_size, conv1_kernel_size=c.conv1_kernel_size)
+        return vox0, pyr0, vox1, pyr1
+
+    # ----------------------------------------------------------- loss core
+
+    def _loss_and_update(self, state: TrainState, pyr0, pyr1, pos_flat, lr, key):
+        c = self.cfg
+        pos_i, pos_j, pos_valid = pos_flat
+
+        def loss_fn(params):
+            F0, ns0 = self._forward(params, state.bn_state, pyr0, training=True)
+            F1, ns1 = self._forward(params, ns0, pyr1, training=True)
+            B, cap, ch = F0.shape
+            f0 = F0.reshape(B * cap, ch)
+            f1 = F1.reshape(B * cap, ch)
+            m0 = pyr0.levels[0].mask.reshape(-1)
+            m1 = pyr1.levels[0].mask.reshape(-1)
+            pos_loss, neg_loss = hardest_contrastive_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                num_pos=c.num_pos, num_hn_samples=c.num_hn_samples,
+                pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
+            )
+            loss = pos_loss + c.neg_weight * neg_loss
+            return loss, (ns1, pos_loss, neg_loss)
+
+        (loss, (new_bn, pos_loss, neg_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if c.axis_name is not None:
+            grads = jax.lax.pmean(grads, c.axis_name)
+        new_params, new_opt = sgd_update(
+            state.params, grads, state.opt,
+            lr=lr, momentum=c.momentum, weight_decay=c.weight_decay,
+        )
+        metrics = {"loss": loss, "pos_loss": pos_loss, "neg_loss": neg_loss}
+        return state._replace(params=new_params, bn_state=new_bn, opt=new_opt), metrics
+
+    # ------------------------------------------------------ base-mode step
+
+    def make_base_train_step(self, label_mode: str = "identity"):
+        """Base / supervised training: GT-pose (or identity) correspondences
+        computed on device (reference lib/data_loaders.py:948-953)."""
+        c = self.cfg
+        assert label_mode in ("identity", "gt")
+
+        @jax.jit
+        def step(state: TrainState, batch: RawBatch, lr):
+            key, sub = jax.random.split(state.key)
+            state = state._replace(key=key)
+            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+            trans = batch.T_gt if label_mode == "gt" else (
+                jnp.broadcast_to(jnp.eye(4), batch.T_gt.shape)
+            )
+            i0, i1, ok = gt_positive_pairs(
+                vox0, vox1, trans, batch.search_radius, knn_tile=c.knn_tile)
+            pos_flat = flatten_pairs(i0, i1, ok, c.caps[0], c.caps[0])
+            new_state, metrics = self._loss_and_update(
+                state, pyr0, pyr1, pos_flat, lr, sub)
+            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32))
+            return new_state, metrics
+
+        return step
+
+    # ------------------------------------------- extension-mode (EYOC) step
+
+    def _label_one(self, args):
+        """Pseudo-label one pair with the frozen labeler features.
+
+        Returns (pos_i [S], pos_j [S], valid [S], labeler_hit, T_est)."""
+        c = self.cfg
+        (f0, m0, x0, f1, m1, x1, fd, tgt_pose, key) = args
+        idx0, idx1, w, valid = mutual_topk_matches(
+            f0, m0, f1, m1, num_corres=c.num_corres,
+            feature_filter=c.feature_filter, knn_tile=c.knn_tile,
+        )
+        c0 = jnp.take(x0, idx0, axis=0)
+        c1 = jnp.take(x1, idx1, axis=0)
+        sf = spatial_filter_mask(
+            c0, c1, spatial_filter=c.spatial_filter, radius=c.filter_radius,
+            similarity=self.similarity, similarity_thresh=c.similarity_thresh,
+            frame_distance=fd,
+        )
+        valid_f = valid & sf
+        labeler_hit = hit_ratio(c0, c1, tgt_pose, c.hit_ratio_thresh, mask=valid_f)
+
+        if not c.use_sc2_filtering:
+            # reference uses the *unfiltered* bidirectional matches here
+            # (pos_pair_tmp, lib/trainer.py:1585-1610)
+            S = idx0.shape[0]
+            return idx0, idx1, valid, labeler_hit, jnp.eye(4)
+
+        ci0, ci1, cv = compact_matches(idx0, idx1, valid_f, c.sc2.max_points)
+        src = jnp.take(x0, ci0, axis=0)
+        tgt = jnp.take(x1, ci1, axis=0)
+        T_est, fitness = sc2_pcr(src, tgt, cv, c.sc2)
+
+        # re-discover correspondences under the estimated pose
+        # (corr_through_registration, lib/trainer.py:1153-1224)
+        noise = jax.random.uniform(key, (x0.shape[0],))
+        noise = jnp.where(m0, noise, 2.0)
+        _, sel = jax.lax.top_k(-noise, c.rediscovery_samples)
+        sel = sel.astype(jnp.int32)
+        sel_ok = jnp.take(m0, sel)
+        warped = transform_points(jnp.take(x0, sel, axis=0), T_est)
+        d2, nn = masked_argmin(warped, sel_ok, x1, m1, tile=c.knn_tile)
+        within = d2 < c.rediscovery_radius ** 2
+        ok_item = (jnp.sum(cv.astype(jnp.int32)) >= 10) & (jnp.max(fitness) > 0)
+        pair_ok = sel_ok & within & ok_item
+        return sel, nn, pair_ok, labeler_hit, T_est
+
+    def make_extension_train_step(self):
+        c = self.cfg
+
+        @jax.jit
+        def step(state: TrainState, batch: RawBatch, lr):
+            key, k_label, k_loss = jax.random.split(state.key, 3)
+            state = state._replace(key=key)
+            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+
+            # frozen labeler forward (train-mode BN like the reference's
+            # never-.eval()'d labeler; its state updates are discarded)
+            F0L, _ = self._forward(state.labeler_params, state.labeler_bn_state,
+                                   pyr0, training=True)
+            F1L, _ = self._forward(state.labeler_params, state.labeler_bn_state,
+                                   pyr1, training=True)
+            F0L = jax.lax.stop_gradient(F0L)
+            F1L = jax.lax.stop_gradient(F1L)
+
+            B = F0L.shape[0]
+            keys = jax.random.split(k_label, B)
+            pos_i, pos_j, ok, labeler_hits, T_est = jax.lax.map(
+                self._label_one,
+                (F0L, vox0.mask, vox0.xyz, F1L, vox1.mask, vox1.xyz,
+                 batch.frame_distance, batch.T_gt, keys),
+            )
+            pos_flat = flatten_pairs(pos_i, pos_j, ok, c.caps[0], c.caps[0])
+            new_state, metrics = self._loss_and_update(
+                state, pyr0, pyr1, pos_flat, lr, k_loss)
+            metrics["labeler_hit_ratio"] = jnp.mean(labeler_hits)
+            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32))
+            return new_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------ validate
+
+    def make_valid_step(self):
+        """Validation on one pair (reference _valid_epoch,
+        lib/trainer.py:1736-1826): subsample-5000 NN correspondences, IRLS
+        robust pose, corr_dist loss, RTE/RRE, hit ratio."""
+        c = self.cfg
+
+        @jax.jit
+        def step(params, bn_state, batch: RawBatch, key):
+            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+            F0, _ = self._forward(params, bn_state, pyr0, training=False)
+            F1, _ = self._forward(params, bn_state, pyr1, training=False)
+            f0, m0 = F0[0], vox0.mask[0]
+            f1, m1 = F1[0], vox1.mask[0]
+            x0, x1 = vox0.xyz[0], vox1.xyz[0]
+            T_gt = batch.T_gt[0]
+
+            noise = jnp.where(m0, jax.random.uniform(key, m0.shape), 2.0)
+            _, sel = jax.lax.top_k(-noise, c.eval_sample_points)
+            sel_ok = jnp.take(m0, sel)
+            _, nn = masked_argmin(jnp.take(f0, sel, axis=0), sel_ok, f1, m1,
+                                  tile=c.knn_tile)
+            xyz0_c = jnp.take(x0, sel, axis=0)
+            xyz1_c = jnp.take(x1, nn, axis=0)
+            T_est = est_quad_linear_robust(xyz0_c, xyz1_c, mask=sel_ok)
+            hit = hit_ratio(xyz0_c, xyz1_c, T_gt, c.hit_ratio_thresh, mask=sel_ok)
+            return {
+                "loss": corr_dist(T_est, T_gt, xyz0_c, xyz1_c, mask=sel_ok),
+                "rte": rte(T_est, T_gt),
+                "rre": rre_deg(T_est, T_gt),
+                "hit_ratio": hit,
+            }
+
+        return step
+
+    # ---------------------------------------------------------------- test
+
+    def make_test_step(self, use_ransac: bool = False,
+                       ransac: RansacConfig | None = None):
+        """Test on one pair (reference scripts/test_kitti.py:128-212):
+        5000-pt random sample of both clouds, SC2-PCR estimator (or RANSAC
+        over mutual-NN correspondences), returns T_est + timing-free metrics."""
+        c = self.cfg
+        ransac = ransac or RansacConfig(distance_threshold=c.voxel_size)
+        n_pts = c.eval_sample_points
+
+        @jax.jit
+        def step(params, bn_state, batch: RawBatch, key):
+            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+            F0, _ = self._forward(params, bn_state, pyr0, training=False)
+            F1, _ = self._forward(params, bn_state, pyr1, training=False)
+            f0, m0, x0 = F0[0], vox0.mask[0], vox0.xyz[0]
+            f1, m1, x1 = F1[0], vox1.mask[0], vox1.xyz[0]
+            k0, k1, k2 = jax.random.split(key, 3)
+
+            def sample(xk, fk, mk, kk):
+                noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
+                _, sel = jax.lax.top_k(-noise, n_pts)
+                ok = jnp.take(mk, sel)
+                return jnp.take(xk, sel, axis=0), jnp.take(fk, sel, axis=0), ok
+
+            sx0, sf0, sm0 = sample(x0, f0, m0, k0)
+            sx1, sf1, sm1 = sample(x1, f1, m1, k1)
+
+            if use_ransac:
+                _, nn = masked_argmin(sf0, sm0, sf1, sm1, tile=c.knn_tile)
+                T_est, _ = ransac_registration(
+                    sx0, jnp.take(sx1, nn, axis=0), sm0, k2, ransac)
+            else:
+                T_est, _, _ = sc2_pcr_estimator(
+                    sx0, sf0, sm0, sx1, sf1, sm1, c.sc2, knn_tile=c.knn_tile)
+
+            T_gt = batch.T_gt[0]
+            return {
+                "T_est": T_est,
+                "rte": rte(T_est, T_gt),
+                "rre": rre_deg(T_est, T_gt),
+            }
+
+        return step
