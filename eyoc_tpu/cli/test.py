@@ -1,0 +1,156 @@
+"""Test entry point — `python -m eyoc_tpu.cli.test --save_dir ... --flags`
+(reference scripts/test_kitti.py:236-295 protocol, same flags).
+
+The 5-distance-split fan-out that the reference runs as 5 nohup processes
+pinned to GPUs (scripts/test_kitti.sh:45-76) is `scripts/test_kitti.sh`
+here as well; within one process the whole pipeline (voxelize -> features
+-> 5000-pt sample -> SC2-PCR/RANSAC) is two jitted device programs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+from eyoc_tpu.config import Config, SC2PCR_KITTI, str2bool
+from eyoc_tpu.data.loader import make_data_loader
+from eyoc_tpu.geometry.metrics import registration_success
+from eyoc_tpu.models import init_unet, load_model
+from eyoc_tpu.training import checkpoint as ckpt
+from eyoc_tpu.training.steps import StepBuilder, init_train_state
+from eyoc_tpu.training.trainer import build_step_config
+from eyoc_tpu.utils.timer import AverageMeter, Timer
+
+ch = logging.StreamHandler(sys.stdout)
+logging.getLogger().setLevel(logging.INFO)
+logging.basicConfig(format="%(asctime)s %(message)s", datefmt="%m/%d %H:%M:%S",
+                    handlers=[ch])
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--save_dir", default=None, type=str, required=True)
+    p.add_argument("--test_phase", default="test", type=str)
+    p.add_argument("--dataset", default=None, type=str)
+    p.add_argument("--LoKITTI", default=False, type=str2bool)
+    p.add_argument("--LoNUSCENES", default=False, type=str2bool)
+    p.add_argument("--LoWAYMO", default=False, type=str2bool)
+    p.add_argument("--pair_min_dist", default=None, type=int)
+    p.add_argument("--pair_max_dist", default=None, type=int)
+    p.add_argument("--downsample_single", default=1.0, type=float)
+    p.add_argument("--kitti_root", type=str, default="/data/kitti")
+    p.add_argument("--use_RANSAC", type=str2bool, default=True)
+    p.add_argument("--rre_thresh", default=5.0, type=float)
+    p.add_argument("--rte_thresh", default=2.0, type=float)
+    p.add_argument("--num_pairs", default=-1, type=int,
+                   help="limit evaluated pairs (debug)")
+    return p.parse_args(argv)
+
+
+def load_test_config(args) -> Config:
+    config = Config.load(os.path.join(args.save_dir, "config.json"))
+    config.save_dir = args.save_dir
+    config.test_phase = args.test_phase
+    config.kitti_root = args.kitti_root
+    config.LoKITTI = args.LoKITTI
+    config.LoNUSCENES = args.LoNUSCENES
+    config.LoWAYMO = args.LoWAYMO
+    config.phase = "test"
+    config.use_RANSAC = args.use_RANSAC
+    config.supervised = False
+    if args.dataset is not None:
+        config.dataset = args.dataset
+    if not args.use_RANSAC:
+        config.update(SC2PCR_KITTI)
+        config.use_SC2_PCR = True
+    if args.pair_min_dist is not None and args.pair_max_dist is not None:
+        config.pair_min_dist = args.pair_min_dist
+        config.pair_max_dist = args.pair_max_dist
+    config.rte_thresh = args.rte_thresh
+    config.rre_thresh = args.rre_thresh
+    return config
+
+
+def main(config, num_pairs=-1):
+    loader = make_data_loader(config, config.test_phase, 1, shuffle=False)
+    spec = load_model(config.model)
+    params, bn_state = init_unet(
+        spec, jax.random.PRNGKey(0), 1, config.model_n_out, config.conv1_kernel_size)
+    state = init_train_state(params, bn_state, jax.random.PRNGKey(1))
+    best = os.path.join(config.save_dir, "best_val_checkpoint")
+    if os.path.exists(best + ".msgpack"):
+        params, bn_state = ckpt.load_weights_only(best, params, bn_state)
+        logging.info(f"loaded weights from {best}")
+    else:
+        logging.warning(f"no checkpoint at {best}; evaluating random init")
+
+    builder = StepBuilder(build_step_config(config, spec))
+    embed = builder.make_embed_step()
+    register = builder.make_register_step(use_ransac=config.use_RANSAC)
+
+    rte_thresh, rre_thresh = config.rte_thresh, config.rre_thresh
+    success_meter, rte_meter, rre_meter = AverageMeter(), AverageMeter(), AverageMeter()
+    data_timer, feat_timer, reg_timer = Timer(), Timer(), Timer()
+    key = jax.random.PRNGKey(0)
+    N = len(loader) if num_pairs < 0 else min(num_pairs, len(loader))
+
+    it = iter(loader)
+    for i in range(N):
+        data_timer.tic()
+        batch = next(it)
+        data_timer.toc()
+
+        feat_timer.tic()
+        embedded = embed(params, bn_state, batch)
+        jax.block_until_ready(embedded)
+        feat_timer.toc()
+
+        reg_timer.tic()
+        key, sub = jax.random.split(key)
+        T_est = register(*embedded, sub)
+        T_est.block_until_ready()
+        reg_timer.toc()
+
+        ok, te, re = registration_success(
+            T_est, batch.T_gt[0], rte_thresh, rre_thresh)
+        te, re = float(te), float(re)
+        if te < rte_thresh:
+            rte_meter.update(te)
+        if np.isfinite(re) and re < rre_thresh:
+            rre_meter.update(re)
+        if bool(ok):
+            success_meter.update(1)
+        else:
+            success_meter.update(0)
+            logging.info(f"Failed with RTE: {te}, RRE: {re}")
+
+        if i % 10 == 0:
+            logging.info(
+                f"{i} / {N}: Data time: {data_timer.avg:.4f}, "
+                f"Feat time: {feat_timer.avg:.4f}, Reg time: {reg_timer.avg:.4f}, "
+                f"RTE: {rte_meter.avg:.4f}, RRE: {rre_meter.avg:.4f}, "
+                f"Success: {success_meter.sum} / {success_meter.count} "
+                f"({success_meter.avg * 100:.4f} %)")
+
+    logging.info(
+        f"RTE: {rte_meter.avg:.4f}, var: {rte_meter.var:.6f}, "
+        f"RRE: {rre_meter.avg:.4f}, var: {rre_meter.var:.6f}, "
+        f"Success: {success_meter.sum} / {success_meter.count} "
+        f"({success_meter.avg * 100:.4f} %)")
+    return {
+        "rr": success_meter.avg,
+        "rte": rte_meter.avg,
+        "rre": rre_meter.avg,
+        "pairs_per_sec": 1.0 / max(feat_timer.avg + reg_timer.avg, 1e-9),
+    }
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    main(load_test_config(args), num_pairs=args.num_pairs)

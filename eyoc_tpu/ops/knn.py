@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from eyoc_tpu.geometry.metrics import pdist2
 
-_BIG = jnp.float32(1e30)
+# plain float (a jnp scalar here would initialize a backend at import time)
+_BIG = 1e30
 
 
 def _pad_rows(x: jnp.ndarray, multiple: int):

@@ -1,0 +1,66 @@
+"""Data parallelism over the device mesh.
+
+The reference has no distributed runtime at all — multi-GPU is shell-level
+process fan-out (reference scripts/test_kitti.sh:45-76, SURVEY.md §2.10).
+The TPU-native equivalent: `shard_map` over a 1-D `dp` mesh with the pair
+batch sharded, parameters replicated, gradients `pmean`-reduced over ICI,
+and BatchNorm statistics synchronized over the same axis — which makes
+dp=N training statistically identical to the reference's single-process
+batch of the same global size. No TP/PP: the backbone is ~9M parameters;
+inventing tensor parallelism for it would burn ICI bandwidth for nothing.
+
+Eval fan-out (the analog of the reference's 5 nohup processes) shards the
+pair list across chips and aggregates meters on host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1) -> Mesh:
+    devices = jax.devices()
+    if num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(devices, ("dp",))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a RawBatch with its leading B axis sharded over dp."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
+
+
+def make_dp_train_step(builder, mesh: Mesh, kind: str = "base",
+                       label_mode: str = "identity"):
+    """Wrap a StepBuilder train step in shard_map over the dp mesh.
+
+    The builder MUST have been constructed with StepConfig(axis_name="dp")
+    so gradients/metrics are pmean'd and BN stats psum'd inside.
+    Returns step(state, batch, lr) with state replicated, batch dp-sharded.
+    """
+    if kind == "base":
+        inner = builder.make_base_train_step(label_mode)
+    elif kind == "extension":
+        inner = builder.make_extension_train_step()
+    else:
+        raise ValueError(kind)
+
+    state_spec = P()     # replicated
+    batch_spec = P("dp")  # shard leading batch axis
+
+    def _step(state, batch, lr):
+        return inner(state, batch, lr)
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(state_spec, batch_spec, state_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

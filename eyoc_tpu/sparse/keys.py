@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 GRID = 1024  # lattice window per axis; must be a power of two
 HALF = GRID // 2
-INVALID_KEY = jnp.int32(GRID * GRID * GRID)  # 2^30, > any valid key
+INVALID_KEY = GRID * GRID * GRID  # 2^30, > any valid key (python int: no backend init at import)
 
 
 def in_window(coords: jnp.ndarray) -> jnp.ndarray:

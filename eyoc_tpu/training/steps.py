@@ -105,6 +105,12 @@ class StepConfig:
     normalize_feature: bool = True
     axis_name: Optional[str] = None   # set to "dp" under shard_map
     eval_sample_points: int = 5000
+    # which metric loss the trainer uses (reference trainer registry,
+    # train.py:35-51)
+    loss_kind: str = "hardest_contrastive"
+    triplet_num_pos: int = 1024
+    triplet_num_rand: int = 1024
+    iter_size: int = 1                # Caffe-style grad accumulation (config.py:101)
 
 
 class StepBuilder:
@@ -135,37 +141,121 @@ class StepBuilder:
 
     # ----------------------------------------------------------- loss core
 
-    def _loss_and_update(self, state: TrainState, pyr0, pyr1, pos_flat, lr, key):
+    def _metric_loss(self, f0, m0, f1, m1, pos_i, pos_j, pos_valid, key):
+        """Dispatch on cfg.loss_kind; returns (loss, pos_term, neg_term)."""
+        c = self.cfg
+        if c.loss_kind == "hardest_contrastive":
+            pos_loss, neg_loss = hardest_contrastive_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                num_pos=c.num_pos, num_hn_samples=c.num_hn_samples,
+                pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
+            )
+            return pos_loss + c.neg_weight * neg_loss, pos_loss, neg_loss
+        if c.loss_kind == "contrastive":
+            pos_loss, neg_loss = random_negative_contrastive_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                num_neg=2 * c.num_pos, neg_thresh=c.neg_thresh,
+            )
+            return pos_loss + c.neg_weight * neg_loss, pos_loss, neg_loss
+        if c.loss_kind == "triplet":
+            loss, pd, nd = triplet_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                num_pos=c.triplet_num_pos, num_rand_triplet=c.triplet_num_rand,
+                neg_thresh=c.neg_thresh,
+            )
+            return loss, pd, nd
+        if c.loss_kind == "hardest_triplet":
+            loss, pd, nd = hardest_triplet_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                num_pos=c.triplet_num_pos, num_hn_samples=c.num_hn_samples,
+                num_rand_triplet=c.triplet_num_rand, neg_thresh=c.neg_thresh,
+            )
+            return loss, pd, nd
+        raise ValueError(f"unknown loss_kind {c.loss_kind!r}")
+
+    def _grads(self, params, bn_state, pyr0, pyr1, pos_flat, key):
         c = self.cfg
         pos_i, pos_j, pos_valid = pos_flat
 
         def loss_fn(params):
-            F0, ns0 = self._forward(params, state.bn_state, pyr0, training=True)
+            F0, ns0 = self._forward(params, bn_state, pyr0, training=True)
             F1, ns1 = self._forward(params, ns0, pyr1, training=True)
             B, cap, ch = F0.shape
             f0 = F0.reshape(B * cap, ch)
             f1 = F1.reshape(B * cap, ch)
             m0 = pyr0.levels[0].mask.reshape(-1)
             m1 = pyr1.levels[0].mask.reshape(-1)
-            pos_loss, neg_loss = hardest_contrastive_loss(
-                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
-                num_pos=c.num_pos, num_hn_samples=c.num_hn_samples,
-                pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
-            )
-            loss = pos_loss + c.neg_weight * neg_loss
+            loss, pos_loss, neg_loss = self._metric_loss(
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key)
             return loss, (ns1, pos_loss, neg_loss)
 
         (loss, (new_bn, pos_loss, neg_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(params)
+        metrics = {"loss": loss, "pos_loss": pos_loss, "neg_loss": neg_loss}
+        return grads, new_bn, metrics
+
+    def _apply(self, state: TrainState, grads, new_bn, lr):
+        c = self.cfg
         if c.axis_name is not None:
             grads = jax.lax.pmean(grads, c.axis_name)
         new_params, new_opt = sgd_update(
             state.params, grads, state.opt,
             lr=lr, momentum=c.momentum, weight_decay=c.weight_decay,
         )
-        metrics = {"loss": loss, "pos_loss": pos_loss, "neg_loss": neg_loss}
-        return state._replace(params=new_params, bn_state=new_bn, opt=new_opt), metrics
+        return state._replace(params=new_params, bn_state=new_bn, opt=new_opt)
+
+    def _loss_and_update(self, state: TrainState, pyr0, pyr1, pos_flat, lr, key):
+        grads, new_bn, metrics = self._grads(
+            state.params, state.bn_state, pyr0, pyr1, pos_flat, key)
+        return self._apply(state, grads, new_bn, lr), metrics
+
+    def _wrap_accumulating(self, micro, uses_labeler: bool = False):
+        """Turn a per-micro-batch grad fn into a jitted update step, with
+        Caffe-style `iter_size` gradient accumulation (reference
+        lib/trainer.py:239-293: loss/iter_size, accumulate, one step).
+
+        iter_size == 1: `batch` is a RawBatch.
+        iter_size > 1:  every RawBatch leaf has a leading [iter_size] axis.
+        """
+        c = self.cfg
+
+        @jax.jit
+        def step(state: TrainState, batch: RawBatch, lr):
+            key, sub = jax.random.split(state.key)
+            state = state._replace(key=key)
+            extra = (
+                (state.labeler_params, state.labeler_bn_state)
+                if uses_labeler else ()
+            )
+            def finish(grads, new_bn, metrics):
+                if c.axis_name is not None:
+                    metrics = jax.tree_util.tree_map(
+                        lambda m: jax.lax.pmean(m, c.axis_name), metrics)
+                return self._apply(state, grads, new_bn, lr), metrics
+
+            if c.iter_size == 1:
+                grads, new_bn, metrics = micro(
+                    state.params, state.bn_state, batch, sub, *extra)
+                return finish(grads, new_bn, metrics)
+
+            keys = jax.random.split(sub, c.iter_size)
+
+            def body(carry, xs):
+                bn, acc = carry
+                b, k = xs
+                g, bn, m = micro(state.params, bn, b, k, *extra)
+                acc = jax.tree_util.tree_map(
+                    lambda a, x: a + x / c.iter_size, acc, g)
+                return (bn, acc), m
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_bn, grads), ms = jax.lax.scan(
+                body, (state.bn_state, zero), (batch, keys))
+            metrics = jax.tree_util.tree_map(jnp.mean, ms)
+            return finish(grads, new_bn, metrics)
+
+        return step
 
     # ------------------------------------------------------ base-mode step
 
@@ -175,10 +265,7 @@ class StepBuilder:
         c = self.cfg
         assert label_mode in ("identity", "gt")
 
-        @jax.jit
-        def step(state: TrainState, batch: RawBatch, lr):
-            key, sub = jax.random.split(state.key)
-            state = state._replace(key=key)
+        def micro(params, bn_state, batch: RawBatch, key):
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
             trans = batch.T_gt if label_mode == "gt" else (
                 jnp.broadcast_to(jnp.eye(4), batch.T_gt.shape)
@@ -186,12 +273,12 @@ class StepBuilder:
             i0, i1, ok = gt_positive_pairs(
                 vox0, vox1, trans, batch.search_radius, knn_tile=c.knn_tile)
             pos_flat = flatten_pairs(i0, i1, ok, c.caps[0], c.caps[0])
-            new_state, metrics = self._loss_and_update(
-                state, pyr0, pyr1, pos_flat, lr, sub)
-            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32))
-            return new_state, metrics
+            grads, new_bn, metrics = self._grads(
+                params, bn_state, pyr0, pyr1, pos_flat, key)
+            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
+            return grads, new_bn, metrics
 
-        return step
+        return self._wrap_accumulating(micro)
 
     # ------------------------------------------- extension-mode (EYOC) step
 
@@ -243,17 +330,16 @@ class StepBuilder:
     def make_extension_train_step(self):
         c = self.cfg
 
-        @jax.jit
-        def step(state: TrainState, batch: RawBatch, lr):
-            key, k_label, k_loss = jax.random.split(state.key, 3)
-            state = state._replace(key=key)
+        def micro(params, bn_state, batch: RawBatch, key, labeler_params,
+                  labeler_bn_state):
+            k_label, k_loss = jax.random.split(key)
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
 
             # frozen labeler forward (train-mode BN like the reference's
             # never-.eval()'d labeler; its state updates are discarded)
-            F0L, _ = self._forward(state.labeler_params, state.labeler_bn_state,
+            F0L, _ = self._forward(labeler_params, labeler_bn_state,
                                    pyr0, training=True)
-            F1L, _ = self._forward(state.labeler_params, state.labeler_bn_state,
+            F1L, _ = self._forward(labeler_params, labeler_bn_state,
                                    pyr1, training=True)
             F0L = jax.lax.stop_gradient(F0L)
             F1L = jax.lax.stop_gradient(F1L)
@@ -266,13 +352,13 @@ class StepBuilder:
                  batch.frame_distance, batch.T_gt, keys),
             )
             pos_flat = flatten_pairs(pos_i, pos_j, ok, c.caps[0], c.caps[0])
-            new_state, metrics = self._loss_and_update(
-                state, pyr0, pyr1, pos_flat, lr, k_loss)
+            grads, new_bn, metrics = self._grads(
+                params, bn_state, pyr0, pyr1, pos_flat, k_loss)
             metrics["labeler_hit_ratio"] = jnp.mean(labeler_hits)
-            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32))
-            return new_state, metrics
+            metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
+            return grads, new_bn, metrics
 
-        return step
+        return self._wrap_accumulating(micro, uses_labeler=True)
 
     # ------------------------------------------------------------ validate
 
@@ -311,6 +397,50 @@ class StepBuilder:
         return step
 
     # ---------------------------------------------------------------- test
+
+    def make_embed_step(self):
+        """Feature extraction half of the test protocol (for the reference's
+        separate Feat/Reg timers, scripts/test_kitti.py:108-151)."""
+
+        @jax.jit
+        def step(params, bn_state, batch: RawBatch):
+            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+            F0, _ = self._forward(params, bn_state, pyr0, training=False)
+            F1, _ = self._forward(params, bn_state, pyr1, training=False)
+            return (vox0.xyz[0], F0[0], vox0.mask[0],
+                    vox1.xyz[0], F1[0], vox1.mask[0])
+
+        return step
+
+    def make_register_step(self, use_ransac: bool = False,
+                           ransac: RansacConfig | None = None):
+        """Registration half: 5000-pt sample + SC2-PCR / RANSAC."""
+        c = self.cfg
+        ransac = ransac or RansacConfig(distance_threshold=c.voxel_size)
+        n_pts = c.eval_sample_points
+
+        @jax.jit
+        def step(x0, f0, m0, x1, f1, m1, key):
+            k0, k1, k2 = jax.random.split(key, 3)
+
+            def sample(xk, fk, mk, kk):
+                noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
+                _, sel = jax.lax.top_k(-noise, n_pts)
+                ok = jnp.take(mk, sel)
+                return jnp.take(xk, sel, axis=0), jnp.take(fk, sel, axis=0), ok
+
+            sx0, sf0, sm0 = sample(x0, f0, m0, k0)
+            sx1, sf1, sm1 = sample(x1, f1, m1, k1)
+            if use_ransac:
+                _, nn = masked_argmin(sf0, sm0, sf1, sm1, tile=c.knn_tile)
+                T_est, _ = ransac_registration(
+                    sx0, jnp.take(sx1, nn, axis=0), sm0, k2, ransac)
+            else:
+                T_est, _, _ = sc2_pcr_estimator(
+                    sx0, sf0, sm0, sx1, sf1, sm1, c.sc2, knn_tile=c.knn_tile)
+            return T_est
+
+        return step
 
     def make_test_step(self, use_ransac: bool = False,
                        ransac: RansacConfig | None = None):

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Run the test suite on a virtual 8-device CPU mesh.
+# NOTE: jax is pre-imported by site customization in some environments, so
+# platform env vars MUST be set at the shell level (tests/conftest.py alone
+# is not enough there).
+export JAX_PLATFORMS=cpu
+export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+exec python -m pytest tests/ -x -q "$@"
