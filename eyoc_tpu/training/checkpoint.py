@@ -45,7 +45,7 @@ def save_checkpoint(out_dir: str, name: str, *, epoch: int, state,
     meta = {
         "epoch": int(epoch),
         "best_val": float(best_val),
-        "best_val_epoch": int(best_val_epoch),
+        "best_val_epoch": int(best_val_epoch) if np.isfinite(best_val_epoch) else -1,
         "best_val_metric": best_val_metric,
         "config": dict(config),
     }

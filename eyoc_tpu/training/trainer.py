@@ -96,7 +96,7 @@ class AlignmentTrainer:
         self.val_epoch_freq = config.val_epoch_freq
         self.best_val_metric = config.best_val_metric
         self.best_val = -np.inf
-        self.best_val_epoch = -np.inf
+        self.best_val_epoch = -1
         self.start_epoch = 1
         self.checkpoint_dir = config.out_dir
         os.makedirs(self.checkpoint_dir, exist_ok=True)
