@@ -401,14 +401,21 @@ class SyntheticPairDataset(PairDatasetBase):
 
     @staticmethod
     def make_scene(rng, n, extent=90.0):
+        """LiDAR-like radial density: ranges ~ r*exp draw so points concentrate
+        near the sensors (real KITTI voxelizes ~130k raw points to ~20k at
+        0.3 m; uniform scenes would saturate any voxel budget)."""
         n_ground = n // 2
+        r = np.minimum(4.0 + rng.exponential(18.0, n_ground), extent)
+        theta = rng.uniform(0, 2 * np.pi, n_ground)
         ground = np.stack([
-            rng.uniform(-extent, extent, n_ground),
-            rng.uniform(-extent, extent, n_ground),
+            r * np.cos(theta) + rng.uniform(-extent / 3, extent / 3),
+            r * np.sin(theta),
             rng.normal(0.0, 0.05, n_ground) - 1.7,
         ], -1)
         n_obj = n - n_ground
-        centers = rng.uniform(-extent, extent, (64, 3)) * np.array([1, 1, 0.02])
+        rc = np.minimum(5.0 + rng.exponential(25.0, 64), extent)
+        tc = rng.uniform(0, 2 * np.pi, 64)
+        centers = np.stack([rc * np.cos(tc), rc * np.sin(tc), rng.uniform(0, 2, 64)], -1)
         sizes = rng.uniform(0.5, 6.0, (64, 3))
         which = rng.integers(0, 64, n_obj)
         objs = centers[which] + rng.uniform(-1, 1, (n_obj, 3)) * sizes[which]

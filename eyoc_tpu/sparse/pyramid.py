@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from eyoc_tpu.sparse.hashing import build_hash_table, hash_lookup
 from eyoc_tpu.sparse.keys import pack_coords
 from eyoc_tpu.sparse.types import SparseLevel, SparsePyramid, VoxelizedCloud
 
@@ -60,23 +61,25 @@ def _unique_compact(coords: jnp.ndarray, valid: jnp.ndarray, capacity: int):
     return out, mask, count
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def _build_table(coords: jnp.ndarray, mask: jnp.ndarray):
-    """Sorted (key, index) lookup table for one level."""
+    """Hash lookup table for one level (load factor <= 1/8: 1-3 probes)."""
     cap = coords.shape[0]
-    key = pack_coords(coords, mask)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    return jax.lax.sort((key, idx), num_keys=2)
+    key = pack_coords(coords, mask)  # invalid -> INVALID_KEY (but masked below)
+    return build_hash_table(key, mask, _next_pow2(8 * cap)), cap
 
 
 def _lookup(table, query_coords: jnp.ndarray, query_valid: jnp.ndarray) -> jnp.ndarray:
     """Resolve [..., 3] coords to indices into the table's level, or CAP_in."""
-    table_keys, table_idx = table
-    cap_in = table_keys.shape[0]
+    ht, cap_in = table
     q = pack_coords(query_coords, query_valid, query=True)  # invalid -> -1
-    pos = jnp.searchsorted(table_keys, q)
-    pos_c = jnp.clip(pos, 0, cap_in - 1)
-    found = jnp.take(table_keys, pos_c) == q
-    return jnp.where(found, jnp.take(table_idx, pos_c), cap_in).astype(jnp.int32)
+    return hash_lookup(ht, q, jnp.int32(cap_in)).astype(jnp.int32)
 
 
 def _offset_queries(table, out_coords, out_mask, offsets: np.ndarray, sign: int = 1):
