@@ -9,7 +9,13 @@ set and build every gather map the network needs, once per batch:
 - decoder (transposed conv) outputs land exactly on the cached encoder
   coordinates of the finer level — ME's behavior that makes `ME.cat` skip
   connections legal (reference model/resunet.py:168-182)
-- lookups are exact: pack coords to int32 keys, `lax.sort`, binary search.
+
+Lookups use the slab-bucketed table (eyoc_tpu/sparse/slabs.py): a cubic k^3
+kernel factors into k^2 (dx, dy) columns x k z-offsets, and ONE row gather
+resolves an entire column — 25 gathers per voxel for the k=5 first conv
+instead of 125 scalar searches. Coordinates are divided by the level's
+tensor stride before packing; cross-stride (transposed-conv) queries mask
+out positions that do not land on the coarse lattice.
 
 All functions are single-cloud; batch via `jax.vmap`.
 """
@@ -23,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eyoc_tpu.sparse.hashing import build_hash_table, hash_lookup
 from eyoc_tpu.sparse.keys import pack_coords
+from eyoc_tpu.sparse.slabs import SlabTable, _full_key, build_slab_table, window_lookup
 from eyoc_tpu.sparse.types import SparseLevel, SparsePyramid, VoxelizedCloud
 
 
@@ -34,14 +40,6 @@ def kernel_offsets(kernel_size: int, scale: int = 1) -> np.ndarray:
     axis = np.arange(-r, r + 1)
     offs = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1).reshape(-1, 3)
     return (offs * scale).astype(np.int32)
-
-
-def _subset_rows(k_big: int, k_small: int) -> np.ndarray:
-    """Row indices of the k_small^3 kernel inside the k_big^3 kernel."""
-    big = kernel_offsets(k_big)
-    small = kernel_offsets(k_small)
-    lut = {tuple(o): i for i, o in enumerate(big)}
-    return np.array([lut[tuple(o)] for o in small], dtype=np.int32)
 
 
 def _unique_compact(coords: jnp.ndarray, valid: jnp.ndarray, capacity: int):
@@ -61,33 +59,60 @@ def _unique_compact(coords: jnp.ndarray, valid: jnp.ndarray, capacity: int):
     return out, mask, count
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+def _same_scale_maps(
+    table: SlabTable,
+    coords_s: jnp.ndarray,
+    mask: jnp.ndarray,
+    r: int,
+    cap_in: int,
+) -> jnp.ndarray:
+    """[K, M] map for a (2r+1)^3 kernel where outputs and inputs share the
+    same scaled lattice (self maps; strided-down maps with pre-scaled outs)."""
+    rows = []
+    zc = coords_s[:, 2]
+    dzs = list(range(-r, r + 1))
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            col_xy = coords_s[:, :2] + jnp.asarray([dx, dy], jnp.int32)
+            qkeys = jnp.stack([
+                _full_key(coords_s + jnp.asarray([dx, dy, dz], jnp.int32),
+                          mask, query=True)
+                for dz in dzs
+            ])
+            rows.append(window_lookup(table, col_xy, mask, zc, qkeys, cap_in, r=r))
+    return jnp.concatenate(rows, axis=0)
 
 
-def _build_table(coords: jnp.ndarray, mask: jnp.ndarray):
-    """Hash lookup table for one level (load factor <= 1/8: 1-3 probes)."""
-    cap = coords.shape[0]
-    key = pack_coords(coords, mask)  # invalid -> INVALID_KEY (but masked below)
-    return build_hash_table(key, mask, _next_pow2(8 * cap)), cap
-
-
-def _lookup(table, query_coords: jnp.ndarray, query_valid: jnp.ndarray) -> jnp.ndarray:
-    """Resolve [..., 3] coords to indices into the table's level, or CAP_in."""
-    ht, cap_in = table
-    q = pack_coords(query_coords, query_valid, query=True)  # invalid -> -1
-    return hash_lookup(ht, q, jnp.int32(cap_in)).astype(jnp.int32)
-
-
-def _offset_queries(table, out_coords, out_mask, offsets: np.ndarray, sign: int = 1):
-    """Kernel map [K, CAP_out]: for each offset, the input index (or sentinel)."""
-    offs = jnp.asarray(sign * offsets, jnp.int32)  # [K, 3]
-    q = out_coords[None, :, :] + offs[:, None, :]  # [K, CAP_out, 3]
-    valid = jnp.broadcast_to(out_mask[None, :], q.shape[:2])
-    return _lookup(table, q, valid)
+def _up_maps(
+    table_coarse: SlabTable,
+    coords_l: jnp.ndarray,
+    mask_l: jnp.ndarray,
+    level: int,
+    cap_in: int,
+) -> jnp.ndarray:
+    """[27, M] transposed-conv map: fine output o takes coarse input at
+    coord(o) - off * 2^level when that lands on the coarse lattice."""
+    s = 1 << level
+    shift = level + 1
+    m2 = (1 << shift) - 1
+    rows = []
+    zc = coords_l[:, 2] >> shift
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            qx = coords_l[:, 0] - dx * s
+            qy = coords_l[:, 1] - dy * s
+            div_ok = ((qx & m2) == 0) & ((qy & m2) == 0)
+            col_xy = jnp.stack([qx >> shift, qy >> shift], -1)
+            col_valid = mask_l & div_ok
+            qkeys = []
+            for dz in (-1, 0, 1):
+                qz = coords_l[:, 2] - dz * s
+                ok = col_valid & ((qz & m2) == 0)
+                qc = jnp.stack([qx >> shift, qy >> shift, qz >> shift], -1)
+                qkeys.append(_full_key(qc, ok, query=True))
+            rows.append(window_lookup(
+                table_coarse, col_xy, col_valid, zc, jnp.stack(qkeys), cap_in, r=1))
+    return jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("caps", "conv1_kernel_size"))
@@ -101,22 +126,23 @@ def build_pyramid(
     caps: per-level capacities, caps[0] must equal vox.coords.shape[0].
     """
     assert caps[0] == vox.coords.shape[0], "caps[0] must match voxel capacity"
+    assert conv1_kernel_size in (1, 3, 5), "slab window covers k <= 5"
     L = len(caps)
     levels = [SparseLevel(vox.coords, vox.mask, vox.count)]
     for l in range(1, L):
         s_out = 1 << l
         prev = levels[l - 1]
-        c_down = (prev.coords // s_out) * s_out  # int floor-div (coords >= -HALF ok: numpy semantics floor toward -inf)
+        c_down = (prev.coords // s_out) * s_out
         coords, mask, count = _unique_compact(c_down, prev.mask, caps[l])
         levels.append(SparseLevel(coords, mask, count))
 
-    tables = [_build_table(lv.coords, lv.mask) for lv in levels]
+    scaled = [lv.coords >> l for l, lv in enumerate(levels)]
+    tables = [build_slab_table(scaled[l], levels[l].mask) for l in range(L)]
 
-    off3 = kernel_offsets(3)
     # first conv (k = conv1_kernel_size, stride 1, level 1)
-    conv1_map = _offset_queries(
-        tables[0], levels[0].coords, levels[0].mask, kernel_offsets(conv1_kernel_size)
-    )
+    r1 = conv1_kernel_size // 2
+    conv1_map = _same_scale_maps(tables[0], scaled[0], levels[0].mask, r1, caps[0])
+
     # self maps (k=3, s=1) per level; level 1's is a subset of conv1_map
     self_maps = []
     if conv1_kernel_size >= 3:
@@ -124,24 +150,19 @@ def build_pyramid(
         self_maps.append(jnp.take(conv1_map, rows, axis=0))
     else:  # pragma: no cover - conv1_kernel_size < 3 unused by any model
         self_maps.append(
-            _offset_queries(tables[0], levels[0].coords, levels[0].mask, off3)
-        )
+            _same_scale_maps(tables[0], scaled[0], levels[0].mask, 1, caps[0]))
     for l in range(1, L):
-        scale = 1 << l
         self_maps.append(
-            _offset_queries(tables[l], levels[l].coords, levels[l].mask, off3 * scale)
-        )
+            _same_scale_maps(tables[l], scaled[l], levels[l].mask, 1, caps[l]))
 
-    down_maps = []  # level l -> level l+1 (k=3, s=2): offsets at input stride 2^l
-    up_maps = []    # level l+1 -> level l (transposed): out = in + off  =>  in = out - off
+    down_maps = []  # level l -> level l+1 (k=3, s=2): out coords scaled by l are exact
+    up_maps = []    # level l+1 -> level l (transposed)
     for l in range(L - 1):
-        scale = 1 << l
+        out_scaled = levels[l + 1].coords >> l  # multiples of 2 on scale-l lattice
         down_maps.append(
-            _offset_queries(tables[l], levels[l + 1].coords, levels[l + 1].mask, off3 * scale)
-        )
+            _same_scale_maps(tables[l], out_scaled, levels[l + 1].mask, 1, caps[l]))
         up_maps.append(
-            _offset_queries(tables[l + 1], levels[l].coords, levels[l].mask, off3 * scale, sign=-1)
-        )
+            _up_maps(tables[l + 1], levels[l].coords, levels[l].mask, l, caps[l + 1]))
 
     return SparsePyramid(
         levels=tuple(levels),
@@ -151,3 +172,11 @@ def build_pyramid(
         up_maps=tuple(up_maps),
         xyz=vox.xyz,
     )
+
+
+def _subset_rows(k_big: int, k_small: int) -> np.ndarray:
+    """Row indices of the k_small^3 kernel inside the k_big^3 kernel."""
+    big = kernel_offsets(k_big)
+    small = kernel_offsets(k_small)
+    lut = {tuple(o): i for i, o in enumerate(big)}
+    return np.array([lut[tuple(o)] for o in small], dtype=np.int32)

@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eyoc_tpu.training.loss import (
+    hardest_contrastive_loss,
+    hardest_triplet_loss,
+    random_negative_contrastive_loss,
+    triplet_loss,
+)
+
+
+def setup_features(n=64, c=8, seed=0):
+    rng = np.random.default_rng(seed)
+    F0 = rng.standard_normal((n, c)).astype(np.float32)
+    F0 /= np.linalg.norm(F0, axis=1, keepdims=True)
+    # F1 = F0 shifted slightly; positives are (i, i)
+    F1 = F0 + rng.normal(0, 0.01, (n, c)).astype(np.float32)
+    F1 /= np.linalg.norm(F1, axis=1, keepdims=True)
+    pos = np.arange(n, dtype=np.int32)
+    return F0, F1, pos
+
+
+class TestHardestContrastive:
+    def test_pos_loss_matches_reference_formula(self):
+        F0, F1, pos = setup_features()
+        n = len(pos)
+        mask = jnp.ones(n, bool)
+        pos_loss, neg_loss = hardest_contrastive_loss(
+            jnp.asarray(F0), mask, jnp.asarray(F1), mask,
+            jnp.asarray(pos), jnp.asarray(pos), mask,
+            jax.random.PRNGKey(0), num_pos=256, num_hn_samples=64,
+            pos_thresh=0.0, neg_thresh=1.4,
+        )
+        # with pos_thresh=0: pos loss == mean squared distance of positives
+        # (sampling with replacement from all-valid pairs is uniform)
+        d2 = ((F0 - F1) ** 2).sum(1)
+        assert abs(float(pos_loss) - d2.mean()) < d2.mean() * 0.5 + 1e-4
+        assert float(neg_loss) >= 0
+
+    def test_true_positives_excluded_from_negatives(self):
+        # clouds where F1 == F0 exactly: the hardest negative of each positive
+        # IS the positive itself (distance 0) and must be masked out -> the
+        # neg loss must come from other points, not from d=0 pairs.
+        rng = np.random.default_rng(1)
+        F0 = rng.standard_normal((32, 4)).astype(np.float32) * 10  # far apart
+        F1 = F0.copy()
+        n = 32
+        mask = jnp.ones(n, bool)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        _, neg_loss = hardest_contrastive_loss(
+            jnp.asarray(F0), mask, jnp.asarray(F1), mask, pos, pos, mask,
+            jax.random.PRNGKey(0), num_pos=64, num_hn_samples=32,
+            pos_thresh=0.1, neg_thresh=1.4,
+        )
+        # if (i, i) were allowed as negatives, neg_loss would be
+        # relu(1.4 - 0)^2 = 1.96; with exclusion the nearest OTHER point is
+        # far (scale 10) so the hinge is mostly inactive.
+        assert float(neg_loss) < 1.0
+
+    def test_pad_rows_ignored(self):
+        F0, F1, pos = setup_features()
+        n = len(pos)
+        # append garbage pad rows
+        F0p = np.concatenate([F0, np.full((16, 8), 777.0, np.float32)])
+        F1p = np.concatenate([F1, np.full((16, 8), -777.0, np.float32)])
+        mask = jnp.asarray(np.arange(n + 16) < n)
+        posv = jnp.ones(n, bool)
+        a = hardest_contrastive_loss(
+            jnp.asarray(F0p), mask, jnp.asarray(F1p), mask,
+            jnp.asarray(pos), jnp.asarray(pos), posv,
+            jax.random.PRNGKey(0), num_pos=128, num_hn_samples=32)
+        assert np.isfinite(float(a[0])) and np.isfinite(float(a[1]))
+        # garbage magnitude must not blow up the losses
+        assert float(a[0]) < 10 and float(a[1]) < 10
+
+
+class TestOtherLosses:
+    def test_random_negative_contrastive(self):
+        F0, F1, pos = setup_features()
+        mask = jnp.ones(len(pos), bool)
+        p, n = random_negative_contrastive_loss(
+            jnp.asarray(F0), mask, jnp.asarray(F1), mask,
+            jnp.asarray(pos), jnp.asarray(pos), mask,
+            jax.random.PRNGKey(0), num_neg=128)
+        d2 = ((F0 - F1) ** 2).sum(1)
+        np.testing.assert_allclose(float(p), d2.mean(), atol=1e-5)
+        assert float(n) > 0  # random unit vectors are closer than margin 1.4
+
+    def test_triplet(self):
+        F0, F1, pos = setup_features()
+        mask = jnp.ones(len(pos), bool)
+        loss, pd, nd = triplet_loss(
+            jnp.asarray(F0), mask, jnp.asarray(F1), mask,
+            jnp.asarray(pos), jnp.asarray(pos), mask,
+            jax.random.PRNGKey(0), num_pos=64, num_rand_triplet=64)
+        assert np.isfinite(float(loss))
+        assert float(pd) < 0.1  # positives are near-identical
+        assert float(nd) > float(pd)
+
+    def test_hardest_triplet(self):
+        F0, F1, pos = setup_features()
+        mask = jnp.ones(len(pos), bool)
+        loss, pd, nd = hardest_triplet_loss(
+            jnp.asarray(F0), mask, jnp.asarray(F1), mask,
+            jnp.asarray(pos), jnp.asarray(pos), mask,
+            jax.random.PRNGKey(0), num_pos=64, num_hn_samples=32,
+            num_rand_triplet=64)
+        assert np.isfinite(float(loss)) and float(loss) >= 0
