@@ -10,6 +10,11 @@ resolves ALL k z-offsets by lane compares. A 5^3 kernel thus costs 25 row
 gathers per output voxel instead of 125 scalar lookups (and each scalar
 lookup itself needed ~15 binary-search gathers in the naive design).
 
+Coordinates here are SHIFTED non-negative lattice coords bounded by `dims`
+= (GX, GY, GZ) with GX*GY*GZ <= 2^31 — the caller may fold a batch index
+into the x axis so a whole batch becomes one flat coordinate set and no
+vmap is needed (vmapped gathers lower catastrophically on TPU).
+
 Row layout: [16 packed coordinate keys | 16 values] int32. Buckets that
 receive more than 16 entries (compound-Poisson tail; essentially never at
 the default bucket count) spill to a sorted overflow array consulted only
@@ -18,18 +23,17 @@ when non-empty.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from eyoc_tpu.sparse.keys import GRID, HALF
 
 EMPTY = jnp.iinfo(jnp.int32).max
 SLOTS = 16
 SLAB_H = 8       # slab height (lattice units)
 SLAB_S = 4       # slab stride (overlap 2x)
+
+Dims = Tuple[int, int, int]
 
 
 class SlabTable(NamedTuple):
@@ -52,46 +56,49 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _full_key(c: jnp.ndarray, valid: jnp.ndarray, query: bool = False) -> jnp.ndarray:
-    """Pack scaled lattice coords [..., 3] to int32 keys (window-bounded)."""
-    s = c + HALF
-    ok = valid & jnp.all((s >= 0) & (s < GRID), axis=-1)
-    s = jnp.clip(s, 0, GRID - 1)
-    key = (s[..., 0] * GRID + s[..., 1]) * GRID + s[..., 2]
+def pack_dims(c: jnp.ndarray, valid: jnp.ndarray, dims: Dims,
+              query: bool = False) -> jnp.ndarray:
+    """Pack SHIFTED coords [..., 3] bounded by dims into int32 keys."""
+    gx, gy, gz = dims
+    assert gx * gy * gz <= 2 ** 31, "key space must fit int32"
+    ok = valid & jnp.all(
+        (c >= 0) & (c < jnp.asarray([gx, gy, gz], jnp.int32)), axis=-1)
+    cc = jnp.clip(c, 0, jnp.asarray([gx - 1, gy - 1, gz - 1], jnp.int32))
+    key = (cc[..., 0] * gy + cc[..., 1]) * gz + cc[..., 2]
     fill = jnp.int32(-1) if query else jnp.int32(EMPTY)
     return jnp.where(ok, key.astype(jnp.int32), fill)
 
 
-def _bucket_key(c_xy: jnp.ndarray, slab: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Bucket identity from shifted (x, y) and slab index."""
-    sx = c_xy[..., 0] + HALF
-    sy = c_xy[..., 1] + HALF
-    ok = valid & (sx >= 0) & (sx < GRID) & (sy >= 0) & (sy < GRID) & (slab >= 0)
-    v = (sx * GRID + sy) * (GRID // SLAB_S) + slab
+def _bucket_key(c_xy: jnp.ndarray, slab: jnp.ndarray, valid: jnp.ndarray,
+                dims: Dims) -> jnp.ndarray:
+    gx, gy, gz = dims
+    ok = (valid & (c_xy[..., 0] >= 0) & (c_xy[..., 0] < gx)
+          & (c_xy[..., 1] >= 0) & (c_xy[..., 1] < gy) & (slab >= 0))
+    v = (c_xy[..., 0] * gy + c_xy[..., 1]) * (gz // SLAB_S) + slab
     return jnp.where(ok, v.astype(jnp.int32), jnp.int32(-1))
 
 
 def build_slab_table(
     coords: jnp.ndarray,
     valid: jnp.ndarray,
+    dims: Dims,
     *,
     buckets: int | None = None,
     ovf_cap: int = 1024,
 ) -> SlabTable:
-    """coords: [N, 3] int32 *scaled* lattice coords (divide by the level's
-    tensor stride first); valid: [N]. Value stored = row index in coords."""
+    """coords: [N, 3] int32 SHIFTED *scaled* lattice coords; valid: [N].
+    Value stored = row index in coords."""
     n = coords.shape[0]
     nb = buckets or max(1024, _next_pow2(n))
     mask = nb - 1
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    full = _full_key(coords, valid)
-    zs = coords[:, 2] + HALF
-    s0 = zs // SLAB_S
+    full = pack_dims(coords, valid, dims)
+    s0 = coords[:, 2] // SLAB_S
     # each voxel lives in slabs s0 and s0-1 (height 8, stride 4)
     ck = jnp.stack([
-        _bucket_key(coords[:, :2], s0, valid),
-        _bucket_key(coords[:, :2], s0 - 1, valid & (s0 - 1 >= 0)),
+        _bucket_key(coords[:, :2], s0, valid, dims),
+        _bucket_key(coords[:, :2], s0 - 1, valid & (s0 - 1 >= 0), dims),
     ])  # [2, N]
     b_id = jnp.where(ck >= 0, _hash(ck, mask), nb).reshape(-1)  # [2N]
     keys2 = jnp.tile(full, 2)
@@ -128,33 +135,40 @@ def window_lookup(
     zc: jnp.ndarray,
     qkeys: jnp.ndarray,
     miss_value: int,
+    dims: Dims,
     r: int = 2,
 ) -> jnp.ndarray:
-    """Resolve a whole kernel column with ONE row gather per output voxel.
+    """Resolve whole kernel columns with ONE row gather per (column, voxel).
 
-    col_xy: [M, 2] scaled column coords; col_valid: [M]; zc: [M] scaled z
-    window center (all query z within zc +- r, r <= 2); qkeys: [D, M] full
-    packed query keys (-1 = invalid). Returns [D, M] values (miss_value
-    where absent).
+    col_xy: [C, M, 2] shifted scaled column coords (C kernel columns);
+    col_valid: [C, M]; zc: [M] scaled z window center (all query z within
+    zc +- r, r <= 2); qkeys: [C, D, M] full packed query keys (-1 =
+    invalid). Returns [C, D, M] values (miss_value where absent). All C*M
+    gathers are issued as one fused take — many small dispatches measurably
+    underuse the gather unit.
     """
     assert r <= 2, "slab window covers |dz| <= 2"
     nb = table.rows.shape[0]
     mask = nb - 1
+    C, M = col_xy.shape[:2]
 
-    zs = zc + HALF
-    slab = jnp.maximum(zs - r, 0) // SLAB_S
-    ck = _bucket_key(col_xy, slab, col_valid)
-    b = jnp.where(ck >= 0, _hash(ck, mask), 0)
+    slab = jnp.maximum(zc - r, 0) // SLAB_S                     # [M]
 
-    rows = jnp.take(table.rows, b, axis=0)      # [M, 32] one gather
-    keys16 = rows[:, :SLOTS]                    # [M, 16]
-    vals16 = rows[:, SLOTS:]
+    def one_column(args):
+        cxy, cval, qk = args                                    # [M,2],[M],[D,M]
+        ck = _bucket_key(cxy, slab, cval, dims)
+        b = jnp.where(ck >= 0, _hash(ck, mask), 0)
+        rows = jnp.take(table.rows, b, axis=0)                  # [M, 32]
+        keys16 = rows[:, :SLOTS]
+        vals16 = rows[:, SLOTS:]
+        hit = (keys16[None] == qk[..., None]) & (qk[..., None] >= 0)  # [D,M,16]
+        found = jnp.any(hit, axis=-1)
+        # max, not sum: a voxel's two slab entries can land in one bucket
+        val = jnp.max(jnp.where(hit, vals16[None], -1), axis=-1)
+        return found, val
 
-    hit = keys16[None] == qkeys[:, :, None]     # [D, M, 16]
-    hit = hit & (qkeys[:, :, None] >= 0)
-    found = jnp.any(hit, axis=-1)
-    # max, not sum: the same voxel's two slab entries can land in one bucket
-    val = jnp.max(jnp.where(hit, vals16[None], -1), axis=-1)
+    # lax.map: the column body compiles once; memory stays [D, M, 16]
+    found, val = jax.lax.map(one_column, (col_xy, col_valid, qkeys))
 
     def finish(args):
         found, val = args

@@ -43,16 +43,51 @@ def preprocess_clouds(
     voxel_size: float,
     conv1_kernel_size: int,
 ) -> Tuple[VoxelizedCloud, SparsePyramid]:
-    """Voxelize + build pyramids for a batch of raw clouds [B, P, 3]."""
-    P = xyz.shape[1]
+    """Voxelize + build ONE flat batch-folded pyramid for raw clouds [B, P, 3].
+
+    Voxelization is per-cloud (so level-1 voxels stay in fixed per-cloud
+    slices of the flat buffer: flat index = b * cap + i), then the batch
+    index is folded into the x axis and a single un-vmapped pyramid is
+    built — vmapped gathers lower catastrophically on TPU, flat ones don't.
+    The returned pyramid's arrays have NO leading batch axis; the returned
+    VoxelizedCloud is per-cloud [B, cap, ...] for the matching stages.
+
+    caps are PER-CLOUD; the flat pyramid uses B * cap per level.
+    """
+    from eyoc_tpu.sparse.pyramid import DEFAULT_DIMS, DEFAULT_SHIFT
+
+    B, P = xyz.shape[:2]
+    cap = caps[0]
     pmask = jnp.arange(P)[None, :] < counts[:, None]
 
-    def one(x, m):
-        vox = voxelize(x, m, voxel_size, caps[0])
-        pyr = build_pyramid(vox, caps, conv1_kernel_size=conv1_kernel_size)
-        return vox, pyr
+    vox = jax.vmap(lambda x, m: voxelize(x, m, voxel_size, cap))(xyz, pmask)
 
-    return jax.vmap(one)(xyz, pmask)
+    gx, gy, gz = DEFAULT_DIMS
+    shifted = vox.coords + jnp.asarray(DEFAULT_SHIFT, jnp.int32)
+    # margin on the folded axis: the deepest kernel reach is 2*2^3 = 16
+    # lattice units, so clouds must not touch their window border
+    margin = 16
+    ok = (
+        vox.mask
+        & (shifted[..., 0] >= margin) & (shifted[..., 0] < gx - margin)
+        & (shifted[..., 1] >= 0) & (shifted[..., 1] < gy)
+        & (shifted[..., 2] >= 0) & (shifted[..., 2] < gz)
+    )
+    folded = shifted.at[..., 0].add(
+        (jnp.arange(B, dtype=jnp.int32) * gx)[:, None])
+
+    flat = VoxelizedCloud(
+        coords=folded.reshape(B * cap, 3),
+        xyz=vox.xyz.reshape(B * cap, 3),
+        mask=ok.reshape(B * cap),
+        count=jnp.sum(ok.astype(jnp.int32)),
+    )
+    caps_total = tuple(B * c for c in caps)
+    pyr = build_pyramid(
+        flat, caps_total, conv1_kernel_size=conv1_kernel_size,
+        dims=(B * gx, gy, gz), pre_shifted=True)
+    vox = vox._replace(mask=ok, count=jnp.sum(ok.astype(jnp.int32), axis=1))
+    return vox, pyr
 
 
 def gt_positive_pairs(

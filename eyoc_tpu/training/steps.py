@@ -121,13 +121,16 @@ class StepBuilder:
     # ------------------------------------------------------------- forward
 
     def _forward(self, params, bn_state, pyr, *, training):
+        """Forward over a FLAT batch-folded pyramid; returns ([N, C], state)."""
         c = self.cfg
-        return apply_unet(
-            c.spec, params, bn_state, pyr,
+        pyr_b = jax.tree_util.tree_map(lambda x: x[None], pyr)
+        feats, new_state = apply_unet(
+            c.spec, params, bn_state, pyr_b,
             training=training, bn_momentum=c.bn_momentum,
             axis_name=c.axis_name if training else None,
             normalize_feature=c.normalize_feature, conv_group=c.conv_group,
         )
+        return feats[0], new_state
 
     def _preprocess(self, batch: RawBatch):
         c = self.cfg
@@ -178,13 +181,10 @@ class StepBuilder:
         pos_i, pos_j, pos_valid = pos_flat
 
         def loss_fn(params):
-            F0, ns0 = self._forward(params, bn_state, pyr0, training=True)
-            F1, ns1 = self._forward(params, ns0, pyr1, training=True)
-            B, cap, ch = F0.shape
-            f0 = F0.reshape(B * cap, ch)
-            f1 = F1.reshape(B * cap, ch)
-            m0 = pyr0.levels[0].mask.reshape(-1)
-            m1 = pyr1.levels[0].mask.reshape(-1)
+            f0, ns0 = self._forward(params, bn_state, pyr0, training=True)
+            f1, ns1 = self._forward(params, ns0, pyr1, training=True)
+            m0 = pyr0.levels[0].mask
+            m1 = pyr1.levels[0].mask
             loss, pos_loss, neg_loss = self._metric_loss(
                 f0, m0, f1, m1, pos_i, pos_j, pos_valid, key)
             return loss, (ns1, pos_loss, neg_loss)
@@ -341,10 +341,9 @@ class StepBuilder:
                                    pyr0, training=True)
             F1L, _ = self._forward(labeler_params, labeler_bn_state,
                                    pyr1, training=True)
-            F0L = jax.lax.stop_gradient(F0L)
-            F1L = jax.lax.stop_gradient(F1L)
-
-            B = F0L.shape[0]
+            B, cap = vox0.mask.shape
+            F0L = jax.lax.stop_gradient(F0L).reshape(B, cap, -1)
+            F1L = jax.lax.stop_gradient(F1L).reshape(B, cap, -1)
             keys = jax.random.split(k_label, B)
             pos_i, pos_j, ok, labeler_hits, T_est = jax.lax.map(
                 self._label_one,
@@ -371,10 +370,9 @@ class StepBuilder:
         @jax.jit
         def step(params, bn_state, batch: RawBatch, key):
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
-            F0, _ = self._forward(params, bn_state, pyr0, training=False)
-            F1, _ = self._forward(params, bn_state, pyr1, training=False)
-            f0, m0 = F0[0], vox0.mask[0]
-            f1, m1 = F1[0], vox1.mask[0]
+            f0, _ = self._forward(params, bn_state, pyr0, training=False)
+            f1, _ = self._forward(params, bn_state, pyr1, training=False)
+            m0, m1 = vox0.mask[0], vox1.mask[0]
             x0, x1 = vox0.xyz[0], vox1.xyz[0]
             T_gt = batch.T_gt[0]
 
@@ -407,8 +405,8 @@ class StepBuilder:
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
             F0, _ = self._forward(params, bn_state, pyr0, training=False)
             F1, _ = self._forward(params, bn_state, pyr1, training=False)
-            return (vox0.xyz[0], F0[0], vox0.mask[0],
-                    vox1.xyz[0], F1[0], vox1.mask[0])
+            return (vox0.xyz[0], F0, vox0.mask[0],
+                    vox1.xyz[0], F1, vox1.mask[0])
 
         return step
 
@@ -454,10 +452,10 @@ class StepBuilder:
         @jax.jit
         def step(params, bn_state, batch: RawBatch, key):
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
-            F0, _ = self._forward(params, bn_state, pyr0, training=False)
-            F1, _ = self._forward(params, bn_state, pyr1, training=False)
-            f0, m0, x0 = F0[0], vox0.mask[0], vox0.xyz[0]
-            f1, m1, x1 = F1[0], vox1.mask[0], vox1.xyz[0]
+            f0, _ = self._forward(params, bn_state, pyr0, training=False)
+            f1, _ = self._forward(params, bn_state, pyr1, training=False)
+            m0, x0 = vox0.mask[0], vox0.xyz[0]
+            m1, x1 = vox1.mask[0], vox1.xyz[0]
             k0, k1, k2 = jax.random.split(key, 3)
 
             def sample(xk, fk, mk, kk):
