@@ -20,7 +20,7 @@ import numpy as np
 
 N_PAIRS = 16
 RAW = 131072
-CAPS = (32768, 16384, 8192, 4096)
+CAPS = (32768, 20480, 8192, 4096)
 
 
 def main():

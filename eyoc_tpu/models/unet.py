@@ -24,14 +24,15 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from eyoc_tpu.sparse.conv import sparse_conv
+from eyoc_tpu.sparse import brick_conv
+from eyoc_tpu.sparse.brick_conv import conv1x1, conv_down, conv_same, conv_up
+from eyoc_tpu.sparse.bricks import BrickPyramid
 from eyoc_tpu.sparse.norm import (
     BatchNormState,
     init_bn_state,
     masked_batch_norm,
     masked_instance_norm,
 )
-from eyoc_tpu.sparse.types import SparsePyramid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,25 +146,31 @@ def init_unet(
 # ---------------------------------------------------------------- apply
 
 
-def _norm(kind, p, s, x, mask, *, training, momentum, axis_name):
+def _norm(kind, p, s, x, occ, *, training, momentum, axis_name):
+    """x [N, C] (any float dtype), occ [N] bool -> (y f32 [N, C], new_state)."""
+    xf = x.astype(jnp.float32)[None]
     if kind == "BN":
-        return masked_batch_norm(
-            x, mask, p["scale"], p["bias"], s,
+        y, ns = masked_batch_norm(
+            xf, occ[None], p["scale"], p["bias"], s,
             momentum=momentum, training=training, axis_name=axis_name,
         )
-    return masked_instance_norm(x, mask, p["scale"], p["bias"]), None
+        return y[0], ns
+    return masked_instance_norm(xf, occ[None], p["scale"], p["bias"])[0], None
 
 
-def _block(kind, p, s, x, mask, kmap, *, training, momentum, axis_name, group):
+def _block(kind, p, s, x, level, *, training, momentum, axis_name):
+    """Residual BasicBlock (reference model/residual_block.py:9-77):
+    conv3-norm-relu-conv3-norm + skip, relu. x [N, C] bf16."""
     residual = x
-    out = sparse_conv(x, kmap, p["conv1"], group=group)
-    out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, mask,
+    out = conv_same(x, level, p["conv1"])
+    out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, level.occ,
                     training=training, momentum=momentum, axis_name=axis_name)
-    out = jax.nn.relu(out)
-    out = sparse_conv(out, kmap, p["conv2"], group=group)
-    out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, mask,
+    out = jax.nn.relu(out).astype(brick_conv.DTYPE)
+    out = conv_same(out, level, p["conv2"])
+    out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, level.occ,
                     training=training, momentum=momentum, axis_name=axis_name)
-    out = jax.nn.relu(out + residual) * mask[..., None]
+    out = jax.nn.relu(out + residual.astype(jnp.float32))
+    out = (out * level.occ[:, None]).astype(brick_conv.DTYPE)
     return out, ({"norm1": s1, "norm2": s2} if s else None)
 
 
@@ -171,87 +178,105 @@ def apply_unet(
     spec: UNetSpec,
     params,
     bn_state,
-    pyramid: SparsePyramid,
+    pyramid: BrickPyramid,
     in_feats: jnp.ndarray | None = None,
     *,
+    conv1_kernel_size: int = 5,
     training: bool = False,
     bn_momentum: float = 0.05,
     axis_name: str | None = None,
     normalize_feature: bool = True,
-    conv_group: int = 4,
 ):
-    """Forward pass. pyramid: batched SparsePyramid (leading B on arrays).
+    """Forward pass over a BrickPyramid (brick engine, sparse/brick_conv.py).
 
-    Returns (features [B, CAP_1, out_channels], new_bn_state).
-    Mirrors the reference forward orders exactly
-    (model/resunet.py:142-193, model/simpleunet.py:96-133).
+    in_feats: optional [M0, Cin] voxel-layout input features (e.g. jittered
+    occupancy); defaults to all-ones occupancy (reference lib/trainer.py:42).
+    Returns (features [M0, out_channels] f32, new_bn_state). Forward order
+    mirrors the reference exactly (model/resunet.py:142-193,
+    model/simpleunet.py:96-133), including SimpleNet's pre-relu skips.
     """
     L = spec.num_levels
     levels = pyramid.levels
-    masks = [lv.mask for lv in levels]
+    assert len(levels) >= L, "pyramid shallower than the model"
     new_state = {}
 
-    def norm(name, x, mask):
+    def norm(name, x, occ):
         y, s = _norm(spec.norm_type, params[name],
-                     bn_state.get(name) if bn_state else None, x, mask,
+                     bn_state.get(name) if bn_state else None, x, occ,
                      training=training, momentum=bn_momentum, axis_name=axis_name)
         new_state[name] = s
         return y
 
-    def block(name, x, mask, kmap):
+    def block(name, x, level):
         y, s = _block(spec.block_norm_type, params[name],
-                      bn_state.get(name) if bn_state else None, x, mask, kmap,
+                      bn_state.get(name) if bn_state else None, x, level,
                       training=training, momentum=bn_momentum,
-                      axis_name=axis_name, group=conv_group)
+                      axis_name=axis_name)
         new_state[name] = s
         return y
 
-    def level_tail(prefix, x, mask, kmap):
-        """norm -> block (-> relu -> norm_2 -> block_2 ...) -> relu"""
-        x = norm(f"norm{prefix}", x, mask)
-        if spec.block_norm_type:
-            x = block(f"block{prefix}", x, mask, kmap)
-            for r in range(2, spec.repeats + 1):
-                x = jax.nn.relu(x)
-                x = norm(f"norm{prefix}_{r}", x, mask)
-                x = block(f"block{prefix}_{r}", x, mask, kmap)
-        return jax.nn.relu(x)
+    def level_tail(prefix, x, level):
+        """norm (-> block [-> relu -> norm_2 -> block_2]...) .
 
+        Returns (post_relu bf16, skip bf16) where skip follows the reference:
+        block output for ResUNet families, PRE-relu norm output for
+        SimpleNet (reference model/simpleunet.py:97-99 vs resunet.py:142-146).
+        """
+        x = norm(f"norm{prefix}", x, level.occ)
+        if spec.block_norm_type:
+            x = block(f"block{prefix}", x.astype(brick_conv.DTYPE), level)
+            for r in range(2, spec.repeats + 1):
+                x = norm(f"norm{prefix}_{r}", jax.nn.relu(x), level.occ)
+                x = block(f"block{prefix}_{r}", x.astype(brick_conv.DTYPE), level)
+            skip = x
+            return x, skip  # block already ends in relu
+        skip = (x * level.occ[:, None]).astype(brick_conv.DTYPE)
+        post = jax.nn.relu(x).astype(brick_conv.DTYPE) * level.occ[:, None]
+        return post, skip
+
+    lvl0 = levels[0]
+    NB0 = lvl0.bkeys.shape[0]
     if in_feats is None:
-        B, cap1 = masks[0].shape
-        in_feats = masks[0][..., None].astype(jnp.float32)
+        cells0 = lvl0.occ[:, None].astype(brick_conv.DTYPE)
+    else:
+        n0 = NB0 * 8
+        cells0 = jnp.zeros((n0, in_feats.shape[-1]), brick_conv.DTYPE)
+        cells0 = cells0.at[lvl0.cellslot].set(
+            in_feats.astype(brick_conv.DTYPE), mode="drop")
+        cells0 = cells0 * lvl0.occ[:, None]
 
     # ---- encoder
     skips = []
-    out = sparse_conv(in_feats, pyramid.conv1_map, params["conv1"], group=conv_group)
-    out = level_tail("1", out, masks[0], pyramid.self_maps[0])
-    skips.append(out)
+    out = conv_same(cells0, lvl0, params["conv1"], k=conv1_kernel_size)
+    out, skip = level_tail("1", out, lvl0)
+    skips.append(skip)
     for l in range(2, L + 1):
-        out = sparse_conv(out, pyramid.down_maps[l - 2], params[f"conv{l}"], group=conv_group)
-        out = level_tail(str(l), out, masks[l - 1], pyramid.self_maps[l - 1])
-        skips.append(out)
+        out = conv_down(out, levels[l - 2], levels[l - 1], params[f"conv{l}"])
+        out, skip = level_tail(str(l), out.astype(brick_conv.DTYPE), levels[l - 1])
+        skips.append(skip)
 
     # ---- decoder
-    out = skips[-1]
     for l in range(L, 1, -1):
-        out = sparse_conv(out, pyramid.up_maps[l - 2], params[f"conv{l}_tr"], group=conv_group)
-        out = level_tail(f"{l}_tr", out, masks[l - 2], pyramid.self_maps[l - 2])
+        out = conv_up(out, levels[l - 2], params[f"conv{l}_tr"])
+        out, _ = level_tail(f"{l}_tr", out, levels[l - 2])
         # ME.cat(out_tr, out_enc): decoder features first
         out = jnp.concatenate([out, skips[l - 2]], axis=-1)
 
     # conv1_tr on the concatenated stride-1 tensor
     if spec.conv1_tr_kernel == 1:
-        out = jnp.einsum("bnc,cd->bnd", out, params["conv1_tr"][0])
+        out = conv1x1(out, params["conv1_tr"][0], occ=lvl0.occ)
     else:
-        out = sparse_conv(out, pyramid.self_maps[0], params["conv1_tr"], group=conv_group)
+        out = conv_same(out, lvl0, params["conv1_tr"])
     if spec.conv1_tr_norm:
-        out = norm("norm1_tr", out, masks[0])
-    out = jax.nn.relu(out)
+        out = norm("norm1_tr", out, lvl0.occ)
+    out = jax.nn.relu(out).astype(brick_conv.DTYPE)
 
-    out = jnp.einsum("bnc,cd->bnd", out, params["final"]["w"]) + params["final"]["b"]
-    out = out * masks[0][..., None]
+    out = conv1x1(out, params["final"]["w"], bias=params["final"]["b"],
+                  occ=lvl0.occ)
 
+    # back to voxel layout
+    z = jnp.zeros((1, out.shape[-1]), out.dtype)
+    feats = jnp.take(jnp.concatenate([out, z], 0), lvl0.cellslot, axis=0)
     if normalize_feature:
-        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
-        out = out * masks[0][..., None]
-    return out, new_state
+        feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+    return feats, new_state

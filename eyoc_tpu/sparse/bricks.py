@@ -1,0 +1,181 @@
+"""Brick decomposition of the voxel pyramid — the ME coordinate manager,
+rebuilt around TPU cost facts (PERF_NOTES.md).
+
+Level-l voxels (stride-2^l lattice) are grouped into 2x2x2 *bricks*. The
+brick lattice of level l IS the voxel lattice of level l+1, so the whole
+pyramid (reference model/resunet.py stride structure; ME's
+`unique(floor(c/2))` downsampling) is one recursion:
+
+    voxels_0  --group-->  bricks_0 == voxels_1  --group--> bricks_1 ...
+
+With Morton keys (sparse/morton.py), `key >> 3` is the parent cell at every
+level, so ONE sort (inside voxelize) orders every level simultaneously;
+bricks fall out of first-occurrence flags + prefix sums, and neighbor
+resolution is 6 scalar gathers per brick from a transient dense grid —
+no hash tables, no per-level sorts (lax.sort costs ~4 ms per call on TPU).
+
+Batch handling: B clouds are concatenated ("folded") along the row axis in
+per-cloud capacity slices; segments never interact (per-segment first
+flags, per-segment grids), which keeps keys in int32 for any B.
+
+Sentinels: voxel rows use morton.INVALID_KEY; brick rows use NBtot (one
+past the end); cell slots use NBtot*8 (dropped by scatters, zero-read by
+`take_rows`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eyoc_tpu.sparse import morton
+
+
+class BrickLevel(NamedTuple):
+    """Level-l voxels organized as 2x2x2 bricks.
+
+    NBtot = B * brick_cap. Cells layout: row = brick_row * 8 + cell,
+    cell = 4*(x&1) + 2*(y&1) + (z&1) of the voxel coordinate.
+    """
+
+    bkeys: jnp.ndarray      # [NBtot] int32 brick Morton keys (level-(l+1) lattice)
+    bmask: jnp.ndarray      # [NBtot] bool
+    bseg: jnp.ndarray       # [NBtot] int32 cloud index
+    occ: jnp.ndarray        # [NBtot*8] bool cell occupancy (== voxel existence)
+    nbr6: jnp.ndarray       # [NBtot, 6] int32 brick rows at +-x,+-y,+-z (sentinel NBtot)
+    cellslot: jnp.ndarray   # [M_l] int32 voxel row -> cell row (sentinel NBtot*8)
+    up_slots: jnp.ndarray | None  # [NBtot, 8] cell rows AT LEVEL l+1 of the coarse
+    #   voxels {B+delta}, delta in {0,1}^3 (sentinel NBtot_{l+1}*8); None at the
+    #   deepest level. Used by the transposed conv INTO this level.
+
+
+class BrickPyramid(NamedTuple):
+    levels: Tuple[BrickLevel, ...]   # one per UNet level (stride 1,2,4,8)
+    vox_masks: Tuple[jnp.ndarray, ...]  # [M_l] voxel validity per level
+
+
+def take_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr [R, ...]; idx int32 with sentinel R -> zero rows."""
+    z = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+    return jnp.take(jnp.concatenate([arr, z], 0), idx, axis=0)
+
+
+def _segment_starts(M: int, B: int) -> jnp.ndarray:
+    """[M] bool: True at each per-cloud segment start."""
+    cap = M // B
+    return (jnp.arange(M, dtype=jnp.int32) % cap) == 0
+
+
+def build_level(
+    keys: jnp.ndarray,       # [M] int32 level-l voxel Morton keys, per-segment sorted
+    mask: jnp.ndarray,       # [M] bool
+    B: int,
+    level: int,
+    brick_cap: int,
+    bits: Tuple[int, int, int] = morton.BITS,
+) -> tuple:
+    """Group level-l voxels into bricks.
+
+    Returns (level: BrickLevel with up_slots=None, up8 [NBtot, 8],
+             valid_vox [M]) where valid_vox masks out voxels dropped by
+    brick-capacity overflow.
+    """
+    M = keys.shape[0]
+    cap = M // B
+    seg = jnp.arange(M, dtype=jnp.int32) // cap
+    NBtot = B * brick_cap
+
+    bk = jnp.where(mask, keys >> 3, morton.INVALID_KEY)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), bk[:-1]])
+    first = mask & ((bk != prev) | _segment_starts(M, B))
+
+    g = jnp.cumsum(first.astype(jnp.int32))                      # inclusive
+    # rank within segment: subtract the running count at segment start
+    seg_base = jnp.take(
+        jnp.concatenate([jnp.zeros(1, jnp.int32), g]), seg * cap)
+    local_rank = g - 1 - seg_base
+    ok_rank = first & (local_rank < brick_cap)
+    brow_first = jnp.where(ok_rank, seg * brick_cap + local_rank, NBtot)
+
+    bkeys = jnp.full((NBtot,), morton.INVALID_KEY, jnp.int32)
+    bkeys = bkeys.at[brow_first].set(jnp.where(first, bk, morton.INVALID_KEY),
+                                     mode="drop")
+    bmask = jnp.zeros((NBtot,), bool).at[brow_first].set(first, mode="drop")
+    bseg = jnp.arange(NBtot, dtype=jnp.int32) // brick_cap
+
+    # propagate brick row to every voxel of the brick (rows of one brick are
+    # contiguous and brow_first increases along the array)
+    brow = jax.lax.cummax(jnp.where(first, brow_first, -1))
+    valid_vox = mask & (brow >= 0) & (brow < NBtot)
+    cell = (keys & 7).astype(jnp.int32)
+    cellslot = jnp.where(valid_vox, brow * 8 + cell, NBtot * 8)
+
+    occ = jnp.zeros((NBtot * 8,), bool).at[cellslot].set(valid_vox, mode="drop")
+
+    # 6-face neighbors via a transient per-segment dense grid
+    dims = morton.grid_dims(level + 1, bits)
+    gsize = B * dims[0] * dims[1] * dims[2]
+    coords = morton.decode(bkeys)                                # [NBtot, 3]
+    # one extra row holding the sentinel so out-of-window lookups (flat
+    # index == gsize) read NBtot
+    grid = jnp.full((gsize + 1,), NBtot, jnp.int32)
+    self_flat = morton.flat_index(coords, level + 1, bmask, bseg, B, bits)
+    grid = grid.at[jnp.where(bmask, self_flat, gsize + 1)].set(
+        jnp.arange(NBtot, dtype=jnp.int32), mode="drop")
+    offs = jnp.asarray([[-1, 0, 0], [1, 0, 0], [0, -1, 0],
+                        [0, 1, 0], [0, 0, -1], [0, 0, 1]], jnp.int32)
+    nflat = morton.flat_index(coords[:, None, :] + offs[None], level + 1,
+                              bmask[:, None], bseg[:, None], B, bits)
+    nbr6 = jnp.take(grid, nflat.reshape(-1)).reshape(NBtot, 6)
+
+    lvl = BrickLevel(bkeys=bkeys, bmask=bmask, bseg=bseg, occ=occ,
+                     nbr6=nbr6, cellslot=cellslot, up_slots=None)
+    # valid_vox reflects brick-capacity drops: callers must treat voxels
+    # without a cell slot as invalid
+    # up8: brick rows at B + delta (positive octant), for the up conv into
+    # this level; delta=0 is self. Converted to level-(l+1) cell slots by the
+    # caller once the next level's cellslot exists.
+    deltas = jnp.asarray([[dx, dy, dz] for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], jnp.int32)
+    uflat = morton.flat_index(coords[:, None, :] + deltas[None], level + 1,
+                              bmask[:, None], bseg[:, None], B, bits)
+    up8 = jnp.take(grid, uflat.reshape(-1)).reshape(NBtot, 8)
+    return lvl, up8, valid_vox
+
+
+def build_pyramid(
+    keys0: jnp.ndarray,      # [M0] per-segment-sorted level-0 voxel Morton keys
+    mask0: jnp.ndarray,      # [M0]
+    B: int,
+    brick_caps: Tuple[int, ...],   # per-level brick capacities, len L
+    bits: Tuple[int, int, int] = morton.BITS,
+) -> BrickPyramid:
+    """Build all L levels. Level-(l+1) voxel arrays are level-l brick arrays
+    (cap_{l+1} == brick_caps[l])."""
+    L = len(brick_caps)
+    levels = []
+    up8s = []
+    vox_masks = []
+    keys, mask = keys0, mask0
+    for l in range(L):
+        lvl, up8, valid_vox = build_level(keys, mask, B, l, brick_caps[l], bits)
+        levels.append(lvl)
+        up8s.append(up8)
+        vox_masks.append(valid_vox)
+        keys, mask = lvl.bkeys, lvl.bmask
+
+    # resolve up_slots: level l's up8 brick rows -> level-(l+1) cell slots
+    resolved = []
+    for l in range(L):
+        if l + 1 < L:
+            nxt = levels[l + 1]
+            sent_next = nxt.bkeys.shape[0] * 8
+            cs = jnp.concatenate(
+                [nxt.cellslot, jnp.full((1,), sent_next, jnp.int32)])
+            slots = jnp.take(cs, up8s[l].reshape(-1)).reshape(up8s[l].shape)
+            resolved.append(levels[l]._replace(up_slots=slots))
+        else:
+            resolved.append(levels[l])
+    return BrickPyramid(levels=tuple(resolved), vox_masks=tuple(vox_masks))

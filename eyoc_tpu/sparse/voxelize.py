@@ -2,10 +2,14 @@
 
 The reference voxelizes on CPU dataloader workers (reference:
 lib/data_loaders.py:940-943). Here the raw padded cloud goes straight to
-the device and voxelization is part of the jitted step: quantize -> pack
+the device and voxelization is part of the jitted step: quantize -> Morton
 keys -> sort -> first-occurrence unique -> compact into a fixed-capacity
 buffer. The representative point chosen for each voxel is the one with the
 lowest original index (deterministic; ME's pick is hash-order arbitrary).
+
+Output rows are ordered by Morton key — the order the brick engine
+(sparse/bricks.py) requires, making this sort the ONLY sort in the whole
+preprocessing pipeline.
 """
 
 from __future__ import annotations
@@ -13,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from eyoc_tpu.sparse.keys import pack_coords
+from eyoc_tpu.sparse import morton
 from eyoc_tpu.sparse.types import VoxelizedCloud
 
 
@@ -22,21 +26,22 @@ def voxelize(
     mask: jnp.ndarray,
     voxel_size: float,
     capacity: int,
+    bits: tuple = morton.BITS,
 ) -> VoxelizedCloud:
     """Voxelize one padded cloud.
 
     xyz: [P, 3] f32 raw points (garbage at pad rows); mask: [P] bool.
     Returns VoxelizedCloud with buffers of size `capacity`; voxels beyond
-    capacity are dropped (count saturates).
+    capacity are dropped (count saturates). Rows sorted by Morton key.
     """
     P = xyz.shape[0]
     coords = jnp.floor(xyz / voxel_size).astype(jnp.int32)
-    key = pack_coords(coords, mask)  # invalid -> INVALID_KEY, sorts last
+    key = morton.encode(coords, mask, bits)  # invalid -> INVALID_KEY, sorts last
 
     idx = jnp.arange(P, dtype=jnp.int32)
     # lexicographic sort by (key, original index) => first occurrence first
     key_s, idx_s = jax.lax.sort((key, idx), num_keys=2)
-    valid_s = key_s < jnp.int32(1 << 30)
+    valid_s = key_s != morton.INVALID_KEY
     first = jnp.concatenate(
         [valid_s[:1], valid_s[1:] & (key_s[1:] != key_s[:-1])]
     )

@@ -1,10 +1,15 @@
-"""Device-side batch preprocessing: pad -> voxelize -> pyramid -> labels.
+"""Device-side batch preprocessing: pad -> voxelize -> brick pyramid -> labels.
 
 The reference performs voxelization, GT radius matching and collation in
 CPU DataLoader workers (reference lib/data_loaders.py:892-979, 31-85).
 Here the raw padded clouds go straight to the device and everything is part
 of the jitted step — on a 1-vCPU host this is the difference between a
 starved accelerator and a saturated one.
+
+Batching: the B clouds are concatenated row-wise in per-cloud capacity
+slices ("folded"); the brick engine keeps segments independent
+(sparse/bricks.py), so features come back as [B*cap, C] aligned with the
+per-cloud VoxelizedCloud arrays used by the matching stages.
 """
 
 from __future__ import annotations
@@ -17,8 +22,9 @@ import jax.numpy as jnp
 
 from eyoc_tpu.geometry.se3 import transform_points
 from eyoc_tpu.ops.knn import masked_argmin
-from eyoc_tpu.sparse.pyramid import build_pyramid
-from eyoc_tpu.sparse.types import SparsePyramid, VoxelizedCloud
+from eyoc_tpu.sparse import morton
+from eyoc_tpu.sparse.bricks import BrickPyramid, build_pyramid
+from eyoc_tpu.sparse.types import VoxelizedCloud
 from eyoc_tpu.sparse.voxelize import voxelize
 
 
@@ -34,59 +40,45 @@ class RawBatch(NamedTuple):
     search_radius: jnp.ndarray   # [B] f32 (scale-adjusted GT match radius)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "voxel_size", "conv1_kernel_size"))
+def brick_caps(caps: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Per-level brick capacities from per-level voxel capacities.
+
+    Level-(l+1) voxels ARE level-l bricks, so brick_caps[l] = caps[l+1];
+    the deepest level gets caps[-1] // 2 (bricks at stride 2^L exist only
+    to organize the deepest conv's cells)."""
+    return tuple(caps[1:]) + (max(256, caps[-1] // 2),)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("caps", "voxel_size", "window_bits"))
 def preprocess_clouds(
     xyz: jnp.ndarray,
     counts: jnp.ndarray,
     *,
     caps: Tuple[int, ...],
     voxel_size: float,
-    conv1_kernel_size: int,
-) -> Tuple[VoxelizedCloud, SparsePyramid]:
-    """Voxelize + build ONE flat batch-folded pyramid for raw clouds [B, P, 3].
+    conv1_kernel_size: int = 5,   # unused; kept for call-site compatibility
+    window_bits: Tuple[int, int, int] = morton.BITS,
+) -> Tuple[VoxelizedCloud, BrickPyramid]:
+    """Voxelize + build the brick pyramid for raw clouds [B, P, 3].
 
-    Voxelization is per-cloud (so level-1 voxels stay in fixed per-cloud
-    slices of the flat buffer: flat index = b * cap + i), then the batch
-    index is folded into the x axis and a single un-vmapped pyramid is
-    built — vmapped gathers lower catastrophically on TPU, flat ones don't.
-    The returned pyramid's arrays have NO leading batch axis; the returned
-    VoxelizedCloud is per-cloud [B, cap, ...] for the matching stages.
-
-    caps are PER-CLOUD; the flat pyramid uses B * cap per level.
-    """
-    from eyoc_tpu.sparse.pyramid import DEFAULT_DIMS, DEFAULT_SHIFT
-
+    Returns (vox [B, cap0] per-cloud arrays for the matching stages,
+    BrickPyramid whose level-0 voxel rows are the flattened [B*cap0] vox
+    rows)."""
     B, P = xyz.shape[:2]
     cap = caps[0]
     pmask = jnp.arange(P)[None, :] < counts[:, None]
 
-    vox = jax.vmap(lambda x, m: voxelize(x, m, voxel_size, cap))(xyz, pmask)
+    vox = jax.vmap(
+        lambda x, m: voxelize(x, m, voxel_size, cap, window_bits))(xyz, pmask)
 
-    gx, gy, gz = DEFAULT_DIMS
-    shifted = vox.coords + jnp.asarray(DEFAULT_SHIFT, jnp.int32)
-    # margin on the folded axis: the deepest kernel reach is 2*2^3 = 16
-    # lattice units, so clouds must not touch their window border
-    margin = 16
-    ok = (
-        vox.mask
-        & (shifted[..., 0] >= margin) & (shifted[..., 0] < gx - margin)
-        & (shifted[..., 1] >= 0) & (shifted[..., 1] < gy)
-        & (shifted[..., 2] >= 0) & (shifted[..., 2] < gz)
-    )
-    folded = shifted.at[..., 0].add(
-        (jnp.arange(B, dtype=jnp.int32) * gx)[:, None])
-
-    flat = VoxelizedCloud(
-        coords=folded.reshape(B * cap, 3),
-        xyz=vox.xyz.reshape(B * cap, 3),
-        mask=ok.reshape(B * cap),
-        count=jnp.sum(ok.astype(jnp.int32)),
-    )
-    caps_total = tuple(B * c for c in caps)
-    pyr = build_pyramid(
-        flat, caps_total, conv1_kernel_size=conv1_kernel_size,
-        dims=(B * gx, gy, gz), pre_shifted=True)
-    vox = vox._replace(mask=ok, count=jnp.sum(ok.astype(jnp.int32), axis=1))
+    keys = morton.encode(vox.coords, vox.mask, window_bits).reshape(B * cap)
+    mask = vox.mask.reshape(B * cap)
+    pyr = build_pyramid(keys, mask, B, brick_caps(caps), window_bits)
+    # voxels dropped by window bounds or brick-capacity overflow are
+    # invalid everywhere (matching must agree with the features)
+    eff = pyr.vox_masks[0].reshape(B, cap)
+    vox = vox._replace(mask=eff, count=jnp.sum(eff.astype(jnp.int32), axis=1))
     return vox, pyr
 
 

@@ -111,6 +111,9 @@ class StepConfig:
     triplet_num_pos: int = 1024
     triplet_num_rand: int = 1024
     iter_size: int = 1                # Caffe-style grad accumulation (config.py:101)
+    # spatial window bits per axis (morton.BITS default covers +-153 m x/y;
+    # tests and the CPU-mesh dryrun shrink it to keep dense grids small)
+    window_bits: tuple = (10, 10, 9)
 
 
 class StepBuilder:
@@ -120,26 +123,26 @@ class StepBuilder:
 
     # ------------------------------------------------------------- forward
 
-    def _forward(self, params, bn_state, pyr, *, training):
-        """Forward over a FLAT batch-folded pyramid; returns ([N, C], state)."""
+    def _forward(self, params, bn_state, pyr, *, training, in_feats=None):
+        """Forward over a folded brick pyramid; returns ([B*cap, C], state)."""
         c = self.cfg
-        pyr_b = jax.tree_util.tree_map(lambda x: x[None], pyr)
         feats, new_state = apply_unet(
-            c.spec, params, bn_state, pyr_b,
+            c.spec, params, bn_state, pyr, in_feats,
+            conv1_kernel_size=c.conv1_kernel_size,
             training=training, bn_momentum=c.bn_momentum,
             axis_name=c.axis_name if training else None,
-            normalize_feature=c.normalize_feature, conv_group=c.conv_group,
+            normalize_feature=c.normalize_feature,
         )
-        return feats[0], new_state
+        return feats, new_state
 
     def _preprocess(self, batch: RawBatch):
         c = self.cfg
         vox0, pyr0 = preprocess_clouds(
-            batch.xyz0, batch.n0, caps=c.caps,
-            voxel_size=c.voxel_size, conv1_kernel_size=c.conv1_kernel_size)
+            batch.xyz0, batch.n0, caps=c.caps, voxel_size=c.voxel_size,
+            window_bits=c.window_bits)
         vox1, pyr1 = preprocess_clouds(
-            batch.xyz1, batch.n1, caps=c.caps,
-            voxel_size=c.voxel_size, conv1_kernel_size=c.conv1_kernel_size)
+            batch.xyz1, batch.n1, caps=c.caps, voxel_size=c.voxel_size,
+            window_bits=c.window_bits)
         return vox0, pyr0, vox1, pyr1
 
     # ----------------------------------------------------------- loss core
@@ -183,8 +186,8 @@ class StepBuilder:
         def loss_fn(params):
             f0, ns0 = self._forward(params, bn_state, pyr0, training=True)
             f1, ns1 = self._forward(params, ns0, pyr1, training=True)
-            m0 = pyr0.levels[0].mask
-            m1 = pyr1.levels[0].mask
+            m0 = pyr0.vox_masks[0]
+            m1 = pyr1.vox_masks[0]
             loss, pos_loss, neg_loss = self._metric_loss(
                 f0, m0, f1, m1, pos_i, pos_j, pos_valid, key)
             return loss, (ns1, pos_loss, neg_loss)

@@ -23,7 +23,7 @@ from eyoc_tpu.sparse.voxelize import voxelize
 from eyoc_tpu.training.pipeline import preprocess_clouds
 
 RAW = 131072
-CAPS = (32768, 16384, 8192, 4096)
+CAPS = (32768, 20480, 8192, 4096)
 
 
 def _force(out):
@@ -73,9 +73,9 @@ def main():
     # 3. forward
     @jax.jit
     def fwd(params, bn_state, pyr):
-        pyr_b = jax.tree_util.tree_map(lambda x: x[None], pyr)
-        feats, _ = apply_unet(spec, params, bn_state, pyr_b, training=False)
-        return feats[0]
+        feats, _ = apply_unet(spec, params, bn_state, pyr, training=False,
+                              conv1_kernel_size=5)
+        return feats
 
     f0 = timeit("UNet forward (1 cloud)", fwd, params, bn_state, pyr0)
     f1 = fwd(params, bn_state, pyr1)

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from eyoc_tpu.models import load_model, init_unet, apply_unet, MODELS
-from eyoc_tpu.sparse import voxelize, build_pyramid
+from eyoc_tpu.sparse.brick_conv import set_compute_dtype
+from eyoc_tpu.training.pipeline import preprocess_clouds
 
 
 def count_params(tree):
@@ -34,13 +35,15 @@ def reference_param_count(ch, tr, in_ch=1, out_ch=32, k1=5, repeats=1,
     return total
 
 
-def make_batch(rng, B=1, n=300, caps=(512, 256, 256, 256), k1=5, extent=8.0):
+def make_batch(rng, B=1, n=300, caps=(512, 256, 256, 256), extent=8.0):
     pts = rng.uniform(-extent, extent, (B, n, 3)).astype(np.float32)
-    vox = jax.vmap(lambda p: voxelize(p, jnp.ones(n, bool), 0.3, caps[0]))(
-        jnp.asarray(pts)
-    )
-    pyr = jax.vmap(lambda v: build_pyramid(v, caps, conv1_kernel_size=k1))(vox)
-    return pyr
+    counts = jnp.full((B,), n, jnp.int32)
+    vox, pyr = preprocess_clouds(
+        jnp.asarray(pts), counts, caps=caps, voxel_size=0.3)
+    return vox, pyr
+
+
+
 
 
 class TestParamCounts:
@@ -75,25 +78,25 @@ class TestParamCounts:
 
 
 class TestForward:
+    @pytest.fixture(autouse=True)
+    def _f32(self):
+        set_compute_dtype(jnp.float32)
+        yield
+        set_compute_dtype(jnp.bfloat16)
+
     def test_shapes_masking_and_norm(self):
         rng = np.random.default_rng(0)
-        pyr = make_batch(rng, B=2)
+        vox, pyr = make_batch(rng, B=2, caps=(512, 512, 256, 256))
         spec = load_model("ResUNetBN2C")
         params, bn_state = init_unet(spec, jax.random.PRNGKey(1), 1, 32, 5)
         feats, new_state = apply_unet(spec, params, bn_state, pyr, training=True)
-        assert feats.shape == (2, 512, 32)
-        mask = np.asarray(pyr.levels[0].mask)
+        assert feats.shape == (2 * 512, 32)
+        mask = np.asarray(vox.mask).reshape(-1)
         f = np.asarray(feats)
-        # pad rows exactly zero
         assert np.all(f[~mask] == 0)
-        # valid rows unit-norm (normalize_feature=True default)
         norms = np.linalg.norm(f[mask], axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
-        # BN state updated
-        assert not np.allclose(
-            np.asarray(new_state["norm1"].mean),
-            0.0,
-        )
+        assert not np.allclose(np.asarray(new_state["norm1"].mean), 0.0)
 
     def test_eval_mode_batch_isolation(self):
         """In eval mode a cloud's features must not depend on its batchmates."""
@@ -101,44 +104,46 @@ class TestForward:
         pts_a = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
         pts_b = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
         caps = (512, 256, 256, 256)
+        spec = load_model("ResUNetBN2C")
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(2), 1, 32, 5)
 
         def fwd(pts_batch):
-            vox = jax.vmap(
-                lambda p: voxelize(p, jnp.ones(300, bool), 0.3, caps[0])
-            )(jnp.asarray(pts_batch))
-            pyr = jax.vmap(lambda v: build_pyramid(v, caps, conv1_kernel_size=5))(vox)
-            spec = load_model("ResUNetBN2C")
-            params, bn_state = init_unet(spec, jax.random.PRNGKey(2), 1, 32, 5)
+            B = len(pts_batch)
+            vox, pyr = preprocess_clouds(
+                jnp.asarray(np.stack(pts_batch)),
+                jnp.full((B,), 300, jnp.int32), caps=caps, voxel_size=0.3)
             feats, _ = apply_unet(spec, params, bn_state, pyr, training=False)
-            return np.asarray(feats)
+            return np.asarray(feats).reshape(B, caps[0], 32)
 
-        solo = fwd(pts_a[None])
-        pair = fwd(np.stack([pts_a, pts_b]))
+        solo = fwd([pts_a])
+        pair = fwd([pts_a, pts_b])
         np.testing.assert_allclose(pair[0], solo[0], atol=1e-4)
 
     def test_translation_equivariance(self):
-        """Shifting by whole stride-8 lattice steps must shift features."""
+        """Shifting by whole stride-16 lattice steps must shift features.
+
+        (16 = brick size at the deepest level: translation must preserve
+        the brick decomposition for bitwise equality.)"""
         rng = np.random.default_rng(2)
         pts = rng.uniform(-6, 6, (200, 3)).astype(np.float32)
-        shift = np.array([8, -16, 24], np.float32) * 0.3  # multiples of 8 voxels
-        caps = (256, 128, 128, 128)
+        shift = np.array([16, -32, 16], np.float32) * 0.3
+        caps = (256, 256, 256, 256)
         spec = load_model("ResUNetBN2C")
         params, bn_state = init_unet(spec, jax.random.PRNGKey(3), 1, 32, 5)
 
         def fwd(p):
-            vox = voxelize(jnp.asarray(p), jnp.ones(200, bool), 0.3, caps[0])
-            pyr = jax.tree_util.tree_map(
-                lambda x: x[None],
-                build_pyramid(vox, caps, conv1_kernel_size=5),
-            )
+            vox, pyr = preprocess_clouds(
+                jnp.asarray(p)[None], jnp.full((1,), 200, jnp.int32),
+                caps=caps, voxel_size=0.3)
             feats, _ = apply_unet(spec, params, bn_state, pyr, training=False)
-            n = int(vox.count)
-            coords = np.asarray(vox.coords[:n])
-            return {tuple(c): np.asarray(feats[0, i]) for i, c in enumerate(coords)}
+            n = int(vox.count[0])
+            coords = np.asarray(vox.coords[0][:n])
+            f = np.asarray(feats)
+            return {tuple(c): f[i] for i, c in enumerate(coords)}
 
         f0 = fwd(pts)
         f1 = fwd(pts + shift)
-        ishift = tuple((shift / 0.3).astype(int))
+        ishift = tuple(np.round(shift / 0.3).astype(int))
         matched = 0
         for c, v in f0.items():
             c2 = tuple(np.add(c, ishift))
@@ -154,11 +159,70 @@ class TestForward:
         rng = np.random.default_rng(3)
         spec = load_model(name)
         caps = tuple([256] * spec.num_levels)
-        pyr = make_batch(rng, B=1, n=150, caps=caps)
+        vox, pyr = make_batch(rng, B=1, n=150, caps=caps)
         params, bn_state = init_unet(spec, jax.random.PRNGKey(4), 1, 16, 5)
         feats, _ = apply_unet(spec, params, bn_state, pyr, training=True)
-        assert feats.shape == (1, 256, 16)
+        assert feats.shape == (256, 16)
         assert np.all(np.isfinite(np.asarray(feats)))
+
+    def test_simplenet_skip_is_pre_relu(self):
+        """The reference SimpleNet cats the PRE-relu norm output
+        (reference model/simpleunet.py:97-99). Construct a network whose
+        output distinguishes pre- from post-relu skips and compare against
+        both hypotheses computed with the public primitives."""
+        from eyoc_tpu.sparse.brick_conv import conv_same
+        from eyoc_tpu.sparse.norm import init_bn_state, masked_batch_norm
+
+        rng = np.random.default_rng(4)
+        spec = load_model("SimpleNetBN2C")
+        vox, pyr = make_batch(rng, B=1, n=200, caps=(256,) * spec.num_levels)
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(5), 1, 16, 5)
+
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zeroed["conv1"] = params["conv1"]
+        zeroed["norm1"] = {"scale": jnp.ones_like(params["norm1"]["scale"]),
+                           "bias": jnp.zeros_like(params["norm1"]["bias"])}
+        n_skip = spec.channels[0]
+        w = np.zeros(np.asarray(params["conv1_tr"]).shape, np.float32)
+        w[13, -n_skip:, :n_skip] = -np.eye(n_skip)  # center tap of k=3, negated
+        zeroed["conv1_tr"] = jnp.asarray(w)
+        zeroed["norm1_tr"] = {"scale": jnp.ones(spec.tr_channels[0]),
+                              "bias": jnp.zeros(spec.tr_channels[0])}
+        fw = np.zeros((spec.tr_channels[0], 16), np.float32)
+        fw[:min(n_skip, 16), :min(n_skip, 16)] = np.eye(min(n_skip, 16))
+        zeroed["final"]["w"] = jnp.asarray(fw)
+
+        got, _ = apply_unet(spec, zeroed, bn_state, pyr, training=True,
+                            normalize_feature=False)
+
+        # expected skip with the public primitives
+        lvl0 = pyr.levels[0]
+        occ = lvl0.occ
+        cells0 = occ[:, None].astype(jnp.float32)
+        pre = conv_same(cells0, lvl0, zeroed["conv1"], k=5)
+        skip_pre, _ = masked_batch_norm(
+            pre[None], occ[None], jnp.ones(n_skip), jnp.zeros(n_skip),
+            init_bn_state(n_skip), momentum=0.05, training=True)
+        skip_pre = skip_pre[0]
+        skip_post = jax.nn.relu(skip_pre)
+
+        # conv1_tr center tap of -I == elementwise -skip at occupied cells
+        def hypothesis(skip):
+            h = jnp.where(occ[:, None], -skip, 0.0)
+            h, _ = masked_batch_norm(
+                h[None], occ[None], jnp.ones(n_skip), jnp.zeros(n_skip),
+                init_bn_state(n_skip), momentum=0.05, training=True)
+            h = jax.nn.relu(h[0])
+            out = h[:, :16]
+            z = jnp.zeros((1, 16))
+            return np.asarray(jnp.take(jnp.concatenate([out, z], 0),
+                                       lvl0.cellslot, axis=0))
+
+        want_pre = hypothesis(skip_pre)
+        want_post = hypothesis(skip_post)
+        g = np.asarray(got)
+        assert np.abs(want_pre - want_post).max() > 1e-3  # test has power
+        np.testing.assert_allclose(g, want_pre, rtol=1e-3, atol=1e-3)
 
 
 class TestRegistry:
