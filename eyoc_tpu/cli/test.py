@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--rte_thresh", default=2.0, type=float)
     p.add_argument("--num_pairs", default=-1, type=int,
                    help="limit evaluated pairs (debug)")
+    p.add_argument("--dp_devices", default=1, type=int,
+                   help="shard the pair list over N devices (the TPU-native "
+                        "analog of the reference 5-process fan-out, "
+                        "scripts/test_kitti.sh:45-76); 1 = single device")
     return p.parse_args(argv)
 
 
@@ -77,8 +81,13 @@ def load_test_config(args) -> Config:
     return config
 
 
-def main(config, num_pairs=-1):
-    loader = make_data_loader(config, config.test_phase, 1, shuffle=False)
+def main(config, num_pairs=-1, dp=1):
+    from eyoc_tpu.parallel.mesh import make_dp_test_step, make_mesh, shard_batch
+    from eyoc_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+
+    dp = max(1, min(dp, len(jax.devices())))
+    loader = make_data_loader(config, config.test_phase, dp, shuffle=False)
     spec = load_model(config.model)
     params, bn_state = init_unet(
         spec, jax.random.PRNGKey(0), 1, config.model_n_out, config.conv1_kernel_size)
@@ -91,8 +100,13 @@ def main(config, num_pairs=-1):
         logging.warning(f"no checkpoint at {best}; evaluating random init")
 
     builder = StepBuilder(build_step_config(config, spec))
-    embed = builder.make_embed_step()
-    register = builder.make_register_step(use_ransac=config.use_RANSAC)
+    if dp > 1:
+        mesh = make_mesh(dp)
+        dp_step = make_dp_test_step(builder, mesh, use_ransac=config.use_RANSAC)
+        logging.info(f"eval sharded over {dp} devices")
+    else:
+        embed = builder.make_embed_step()
+        register = builder.make_register_step(use_ransac=config.use_RANSAC)
 
     rte_thresh, rre_thresh = config.rte_thresh, config.rre_thresh
     success_meter, rte_meter, rre_meter = AverageMeter(), AverageMeter(), AverageMeter()
@@ -106,29 +120,47 @@ def main(config, num_pairs=-1):
         batch = next(it)
         data_timer.toc()
 
-        feat_timer.tic()
-        embedded = embed(params, bn_state, batch)
-        jax.block_until_ready(embedded)
-        feat_timer.toc()
-
-        reg_timer.tic()
-        key, sub = jax.random.split(key)
-        T_est = register(*embedded, sub)
-        T_est.block_until_ready()
-        reg_timer.toc()
-
-        ok, te, re = registration_success(
-            T_est, batch.T_gt[0], rte_thresh, rre_thresh)
-        te, re = float(te), float(re)
-        if te < rte_thresh:
-            rte_meter.update(te)
-        if np.isfinite(re) and re < rre_thresh:
-            rre_meter.update(re)
-        if bool(ok):
-            success_meter.update(1)
+        if dp > 1:
+            feat_timer.tic()
+            batch = shard_batch(mesh, batch)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, dp)
+            out = dp_step(params, bn_state, batch, keys)
+            T_all = np.asarray(out["T_est"])
+            feat_timer.toc()
+            reg_timer.tic()
+            reg_timer.toc()
+            results = []
+            for d in range(dp):
+                ok, te, re = registration_success(
+                    T_all[d], batch.T_gt[d], rte_thresh, rre_thresh)
+                results.append((ok, float(te), float(re)))
         else:
-            success_meter.update(0)
-            logging.info(f"Failed with RTE: {te}, RRE: {re}")
+            feat_timer.tic()
+            embedded = embed(params, bn_state, batch)
+            jax.block_until_ready(embedded)
+            feat_timer.toc()
+
+            reg_timer.tic()
+            key, sub = jax.random.split(key)
+            T_est = register(*embedded, sub)
+            T_est.block_until_ready()
+            reg_timer.toc()
+
+            ok, te, re = registration_success(
+                T_est, batch.T_gt[0], rte_thresh, rre_thresh)
+            results = [(ok, float(te), float(re))]
+
+        for ok, te, re in results:
+            if te < rte_thresh:
+                rte_meter.update(te)
+            if np.isfinite(re) and re < rre_thresh:
+                rre_meter.update(re)
+            if bool(ok):
+                success_meter.update(1)
+            else:
+                success_meter.update(0)
+                logging.info(f"Failed with RTE: {te}, RRE: {re}")
 
         if i % 10 == 0:
             logging.info(
@@ -153,4 +185,5 @@ def main(config, num_pairs=-1):
 
 if __name__ == "__main__":
     args = parse_args()
-    main(load_test_config(args), num_pairs=args.num_pairs)
+    main(load_test_config(args), num_pairs=args.num_pairs,
+         dp=args.dp_devices)

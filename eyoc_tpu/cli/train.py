@@ -10,6 +10,7 @@ import numpy as np
 
 from eyoc_tpu.config import get_config
 from eyoc_tpu.data.loader import make_data_loader
+from eyoc_tpu.parallel.mesh import maybe_distributed_init
 from eyoc_tpu.training.trainer import get_trainer
 
 ch = logging.StreamHandler(sys.stdout)
@@ -22,6 +23,9 @@ logging.basicConfig(
 
 
 def main(config):
+    from eyoc_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    maybe_distributed_init(config)
     np.random.seed(config.get("seed", 0))
     train_loader = make_data_loader(config, config.train_phase, config.batch_size)
     val_loader = None

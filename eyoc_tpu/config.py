@@ -171,6 +171,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random sample size at test (test_kitti.py:156)")
     g.add_argument("--dp_devices", type=int, default=-1,
                    help="data-parallel devices (-1 = all)")
+    g.add_argument("--multihost", type=str2bool, default=False,
+                   help="jax.distributed.initialize for multi-host DCN meshes")
+    g.add_argument("--window_bits", type=str, default="10,10,8",
+                   help="Morton window bits per axis (x,y,z); the spatial "
+                        "window is +-2^(b-1) voxels per axis")
     g.add_argument("--matmul_precision", type=str, default="default",
                    choices=["default", "bfloat16", "highest"])
     return p
@@ -202,6 +207,13 @@ def merge_sc2pcr(cfg: Config) -> Config:
     out = cfg.copy()
     out.update(SC2PCR_KITTI)
     return out
+
+
+def window_bits_of(cfg: Config) -> tuple:
+    v = cfg.get("window_bits", "10,10,8")
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return tuple(int(x) for x in str(v).split(","))
 
 
 def level_capacities(cfg: Config, num_levels: int = 4) -> tuple:

@@ -10,16 +10,37 @@ batch of the same global size. No TP/PP: the backbone is ~9M parameters;
 inventing tensor parallelism for it would burn ICI bandwidth for nothing.
 
 Eval fan-out (the analog of the reference's 5 nohup processes) shards the
-pair list across chips and aggregates meters on host.
+pair list across chips: `make_dp_test_step` runs the whole per-pair test
+protocol on D pairs at once, one per device.
+
+Multi-host: `maybe_distributed_init` wires `jax.distributed.initialize`
+(DCN) behind --multihost; the same dp mesh then spans all hosts' chips.
 """
 
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_distributed_init(config) -> None:
+    """reference has no analog; jax multi-host init behind --multihost
+    (coordinator/process env come from the standard JAX env vars)."""
+    if config.get("multihost", False):
+        jax.distributed.initialize()
+        logging.info(
+            f"jax.distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local devices")
+
+
+def dp_device_count(config) -> int:
+    """Resolve --dp_devices (-1 = all local devices)."""
+    n = int(config.get("dp_devices", -1))
+    return len(jax.devices()) if n <= 0 else min(n, len(jax.devices()))
 
 
 def make_mesh(num_devices: int = -1) -> Mesh:
@@ -61,6 +82,45 @@ def make_dp_train_step(builder, mesh: Mesh, kind: str = "base",
         _step, mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_test_step(builder, mesh: Mesh, use_ransac: bool = False):
+    """Sharded test protocol: D pairs per call, one per device — the
+    TPU-native analog of the reference's 5-process eval fan-out
+    (scripts/test_kitti.sh:45-76). Returns step(params, bn_state, batch,
+    keys) -> {"T_est" [D,4,4], "rte" [D], "rre" [D]} with batch [D, ...]
+    dp-sharded and keys [D, 2] sharded."""
+    inner = builder.make_test_step(use_ransac=use_ransac)
+
+    def _step(params, bn_state, batch, keys):
+        out = inner(params, bn_state, batch, keys[0])
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_valid_step(builder, mesh: Mesh):
+    """Sharded validation: D pairs per call (reference _valid_epoch runs
+    batch-1 pairs serially, lib/trainer.py:1736-1826)."""
+    inner = builder.make_valid_step()
+
+    def _step(params, bn_state, batch, keys):
+        out = inner(params, bn_state, batch, keys[0])
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=P("dp"),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -105,30 +105,39 @@ def build_level(
     bmask = jnp.zeros((NBtot,), bool).at[brow_first].set(first, mode="drop")
     bseg = jnp.arange(NBtot, dtype=jnp.int32) // brick_cap
 
-    # propagate brick row to every voxel of the brick (rows of one brick are
-    # contiguous and brow_first increases along the array)
-    brow = jax.lax.cummax(jnp.where(first, brow_first, -1))
-    valid_vox = mask & (brow >= 0) & (brow < NBtot)
+    # propagate brick row to every voxel of the brick: carry the POSITION
+    # of the most recent first-row, then read its brick row. (A plain
+    # cummax over brow_first is wrong: an overflowed brick's NBtot sentinel
+    # would poison every later segment, breaking per-cloud independence.)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    last_first = jax.lax.cummax(jnp.where(first, idx, -1))
+    brow = jnp.take(jnp.concatenate([brow_first, jnp.full((1,), NBtot, jnp.int32)]),
+                    jnp.where(last_first >= 0, last_first, M))
+    valid_vox = mask & (last_first >= 0) & (brow < NBtot)
     cell = (keys & 7).astype(jnp.int32)
     cellslot = jnp.where(valid_vox, brow * 8 + cell, NBtot * 8)
 
     occ = jnp.zeros((NBtot * 8,), bool).at[cellslot].set(valid_vox, mode="drop")
 
-    # 6-face neighbors via a transient per-segment dense grid
+    # 6-face neighbors via a transient per-segment dense grid. All index
+    # arithmetic stays on per-axis [NBtot] vectors — [N, 3] arrays provoke
+    # T(1,128) layouts and transpose copies on TPU.
     dims = morton.grid_dims(level + 1, bits)
     gsize = B * dims[0] * dims[1] * dims[2]
-    coords = morton.decode(bkeys)                                # [NBtot, 3]
+    bx, by, bz = morton.axes_of(bkeys)
     # one extra row holding the sentinel so out-of-window lookups (flat
     # index == gsize) read NBtot
     grid = jnp.full((gsize + 1,), NBtot, jnp.int32)
-    self_flat = morton.flat_index(coords, level + 1, bmask, bseg, B, bits)
+    self_flat = morton.flat_from_axes(bx, by, bz, level + 1, bmask, bseg, B,
+                                      bits)
     grid = grid.at[jnp.where(bmask, self_flat, gsize + 1)].set(
         jnp.arange(NBtot, dtype=jnp.int32), mode="drop")
-    offs = jnp.asarray([[-1, 0, 0], [1, 0, 0], [0, -1, 0],
-                        [0, 1, 0], [0, 0, -1], [0, 0, 1]], jnp.int32)
-    nflat = morton.flat_index(coords[:, None, :] + offs[None], level + 1,
-                              bmask[:, None], bseg[:, None], B, bits)
-    nbr6 = jnp.take(grid, nflat.reshape(-1)).reshape(NBtot, 6)
+    offs = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1),
+            (0, 0, 1)]
+    nbr6 = jnp.stack([
+        jnp.take(grid, morton.flat_from_axes(
+            bx + dx, by + dy, bz + dz, level + 1, bmask, bseg, B, bits))
+        for dx, dy, dz in offs], axis=1)
 
     lvl = BrickLevel(bkeys=bkeys, bmask=bmask, bseg=bseg, occ=occ,
                      nbr6=nbr6, cellslot=cellslot, up_slots=None)
@@ -137,11 +146,10 @@ def build_level(
     # up8: brick rows at B + delta (positive octant), for the up conv into
     # this level; delta=0 is self. Converted to level-(l+1) cell slots by the
     # caller once the next level's cellslot exists.
-    deltas = jnp.asarray([[dx, dy, dz] for dx in (0, 1) for dy in (0, 1)
-                          for dz in (0, 1)], jnp.int32)
-    uflat = morton.flat_index(coords[:, None, :] + deltas[None], level + 1,
-                              bmask[:, None], bseg[:, None], B, bits)
-    up8 = jnp.take(grid, uflat.reshape(-1)).reshape(NBtot, 8)
+    up8 = jnp.stack([
+        jnp.take(grid, morton.flat_from_axes(
+            bx + dx, by + dy, bz + dz, level + 1, bmask, bseg, B, bits))
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], axis=1)
     return lvl, up8, valid_vox
 
 

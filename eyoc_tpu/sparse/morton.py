@@ -20,11 +20,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Default bits per axis at level 0 (29-bit keys): +-153 m x/y, +-76 m z at
-# KITTI's 0.3 m voxels. Smaller windows (static `bits` argument) shrink the
+# Default bits per axis at level 0 (28-bit keys): +-153 m x/y, +-38 m z at
+# KITTI's 0.3 m voxels (LiDAR z spans a few meters). Smaller windows (static `bits` argument) shrink the
 # dense neighbor grids quadratically — tests and the multichip dryrun use
 # (8, 8, 7) to keep per-device grid memsets cheap.
-BITS = (10, 10, 9)
+BITS = (10, 10, 8)
 SHIFT = None  # computed per-bits; kept for doc purposes
 KEY_BITS = 29
 INVALID_KEY = jnp.iinfo(jnp.int32).max  # sorts last, matches nothing
@@ -95,6 +95,28 @@ def grid_dims(level: int, bits=BITS) -> tuple:
     """Dense-grid dims of the SHIFTED level-l lattice."""
     gx, gy, gz = dims(bits)
     return (max(1, gx >> level), max(1, gy >> level), max(1, gz >> level))
+
+
+def axes_of(key: jnp.ndarray) -> tuple:
+    """Morton keys [...] -> (x, y, z) SHIFTED per-axis vectors (no [...,3]
+    materialization — 3-wide arrays provoke T(1,128) layouts on TPU)."""
+    return _compact3(key >> 2), _compact3(key >> 1), _compact3(key)
+
+
+def flat_from_axes(x, y, z, level: int, valid, segment=None,
+                   n_segments: int = 1, bits=BITS) -> jnp.ndarray:
+    """Per-axis SHIFTED level-l coords -> flat row-major dense-grid index;
+    invalid -> n_segments*prod(dims) sentinel."""
+    gx, gy, gz = grid_dims(level, bits)
+    ok = (valid & (x >= 0) & (x < gx) & (y >= 0) & (y < gy)
+          & (z >= 0) & (z < gz))
+    xc = jnp.clip(x, 0, gx - 1)
+    yc = jnp.clip(y, 0, gy - 1)
+    zc = jnp.clip(z, 0, gz - 1)
+    idx = (xc * gy + yc) * gz + zc
+    if segment is not None:
+        idx = idx + segment * (gx * gy * gz)
+    return jnp.where(ok, idx, n_segments * gx * gy * gz)
 
 
 def flat_index(coords: jnp.ndarray, level: int, valid: jnp.ndarray,

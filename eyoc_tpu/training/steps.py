@@ -145,6 +145,18 @@ class StepBuilder:
             window_bits=c.window_bits)
         return vox0, pyr0, vox1, pyr1
 
+    def _eval_features_pair(self, params, bn_state, batch: RawBatch):
+        """Eval feature extraction for both clouds of a pair (two separate
+        forwards: measured FASTER than folding the pair into one 2B-cloud
+        program on v5e — the folded halos/matmuls lose more to memory
+        pressure than they gain in batching).
+
+        Returns (vox0, vox1, f0 [B*cap, C], f1 [B*cap, C])."""
+        vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+        f0, _ = self._forward(params, bn_state, pyr0, training=False)
+        f1, _ = self._forward(params, bn_state, pyr1, training=False)
+        return vox0, vox1, f0, f1
+
     # ----------------------------------------------------------- loss core
 
     def _metric_loss(self, f0, m0, f1, m1, pos_i, pos_j, pos_valid, key):
@@ -372,9 +384,8 @@ class StepBuilder:
 
         @jax.jit
         def step(params, bn_state, batch: RawBatch, key):
-            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
-            f0, _ = self._forward(params, bn_state, pyr0, training=False)
-            f1, _ = self._forward(params, bn_state, pyr1, training=False)
+            vox0, vox1, f0, f1 = self._eval_features_pair(
+                params, bn_state, batch)
             m0, m1 = vox0.mask[0], vox1.mask[0]
             x0, x1 = vox0.xyz[0], vox1.xyz[0]
             T_gt = batch.T_gt[0]
@@ -405,9 +416,8 @@ class StepBuilder:
 
         @jax.jit
         def step(params, bn_state, batch: RawBatch):
-            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
-            F0, _ = self._forward(params, bn_state, pyr0, training=False)
-            F1, _ = self._forward(params, bn_state, pyr1, training=False)
+            vox0, vox1, F0, F1 = self._eval_features_pair(
+                params, bn_state, batch)
             return (vox0.xyz[0], F0, vox0.mask[0],
                     vox1.xyz[0], F1, vox1.mask[0])
 
@@ -454,9 +464,8 @@ class StepBuilder:
 
         @jax.jit
         def step(params, bn_state, batch: RawBatch, key):
-            vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
-            f0, _ = self._forward(params, bn_state, pyr0, training=False)
-            f1, _ = self._forward(params, bn_state, pyr1, training=False)
+            vox0, vox1, f0, f1 = self._eval_features_pair(
+                params, bn_state, batch)
             m0, x0 = vox0.mask[0], vox0.xyz[0]
             m1, x1 = vox1.mask[0], vox1.xyz[0]
             k0, k1, k2 = jax.random.split(key, 3)

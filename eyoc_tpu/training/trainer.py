@@ -24,10 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eyoc_tpu.config import Config, level_capacities, merge_sc2pcr
+from eyoc_tpu.config import Config, level_capacities, merge_sc2pcr, window_bits_of
 from eyoc_tpu.data.loader import DataLoader, make_data_loader
 from eyoc_tpu.models import init_unet, load_model
 from eyoc_tpu.ops.matching import load_similarity_tables
+from eyoc_tpu.parallel.mesh import (
+    dp_device_count,
+    make_dp_train_step,
+    make_dp_valid_step,
+    make_mesh,
+    shard_batch,
+)
 from eyoc_tpu.registration.sc2pcr import SC2PCRConfig
 from eyoc_tpu.training import checkpoint as ckpt
 from eyoc_tpu.training.optim import ema_update, exp_lr
@@ -79,6 +86,7 @@ def build_step_config(config: Config, spec, *, axis_name=None,
         iter_size=config.iter_size,
         axis_name=axis_name,
         loss_kind=loss_kind,
+        window_bits=window_bits_of(config),
     )
 
 
@@ -92,6 +100,12 @@ class AlignmentTrainer:
         self.config = config
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
+        # fail fast on bad dp configs (before any model compilation)
+        self.dp = dp_device_count(config)
+        if self.dp > 1 and config.batch_size % self.dp != 0:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by "
+                f"dp_devices {self.dp}")
         self.max_epoch = config.max_epoch
         self.val_epoch_freq = config.val_epoch_freq
         self.best_val_metric = config.best_val_metric
@@ -113,8 +127,14 @@ class AlignmentTrainer:
         sim = None
         if config.spatial_filter == "Similarity":
             sim = load_similarity_tables(config.pretraining_dataset or "kitti")
+        # data parallelism (SURVEY.md §2.10): shard the pair batch over a
+        # 1-D dp mesh; params replicated, grads pmean'd, BN synchronized.
+        self.mesh = make_mesh(self.dp) if self.dp > 1 else None
+        if self.mesh is not None:
+            logging.info(f"data parallelism over {self.dp} devices")
         self.step_cfg = build_step_config(
-            config, self.spec, loss_kind=self.LOSS_KIND)
+            config, self.spec, loss_kind=self.LOSS_KIND,
+            axis_name="dp" if self.mesh is not None else None)
         self.builder = StepBuilder(self.step_cfg, similarity=sim)
         self._base_steps = {}
         self._ext_step = None
@@ -145,8 +165,23 @@ class AlignmentTrainer:
 
     def _base_step(self, label_mode: str):
         if label_mode not in self._base_steps:
-            self._base_steps[label_mode] = self.builder.make_base_train_step(label_mode)
+            if self.mesh is not None:
+                self._base_steps[label_mode] = make_dp_train_step(
+                    self.builder, self.mesh, kind="base",
+                    label_mode=label_mode)
+            else:
+                self._base_steps[label_mode] = \
+                    self.builder.make_base_train_step(label_mode)
         return self._base_steps[label_mode]
+
+    def _extension_step(self):
+        if self._ext_step is None:
+            if self.mesh is not None:
+                self._ext_step = make_dp_train_step(
+                    self.builder, self.mesh, kind="extension")
+            else:
+                self._ext_step = self.builder.make_extension_train_step()
+        return self._ext_step
 
     def _save(self, epoch, name="checkpoint"):
         ckpt.save_checkpoint(
@@ -193,6 +228,8 @@ class AlignmentTrainer:
             data_timer.tic()
             batch = next(it)
             data_timer.toc()
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
             self.state, metrics = step(self.state, batch, lr)
             for k, m in meters.items():
                 if k in metrics:
@@ -217,23 +254,40 @@ class AlignmentTrainer:
         """reference lib/trainer.py:1736-1826: batch-1 pairs, robust pose,
         feat_match_ratio = mean(hit_ratio > 0.05)."""
         if self._valid_step is None:
-            self._valid_step = self.builder.make_valid_step()
+            if self.mesh is not None:
+                self._valid_step = make_dp_valid_step(self.builder, self.mesh)
+            else:
+                self._valid_step = self.builder.make_valid_step()
         self.val_data_loader.dataset.reset_seed(0)
         meters = {k: AverageMeter() for k in ("loss", "rte", "rre", "hit_ratio")}
         fmr = AverageMeter()
         key = jax.random.PRNGKey(0)
+        dp = self.dp if self.mesh is not None else 1
         max_iter = min(self.config.val_max_iter, len(self.val_data_loader))
         it = iter(self.val_data_loader)
         for i in range(max_iter):
             batch = next(it)
             key, sub = jax.random.split(key)
-            out = self._valid_step(self.state.params, self.state.bn_state, batch, sub)
-            out = {k: float(v) for k, v in out.items()}
-            if not np.isfinite(out["rre"]):
-                continue
-            for k, m in meters.items():
-                m.update(out[k])
-            fmr.update(float(out["hit_ratio"] > 0.05))
+            if self.mesh is not None:
+                # one pair per device (eval fan-out, SURVEY.md §2.10)
+                batch = shard_batch(self.mesh, batch)
+                keys = jax.random.split(sub, dp)
+                outs = self._valid_step(
+                    self.state.params, self.state.bn_state, batch, keys)
+                per_pair = [
+                    {k: float(v[d]) for k, v in outs.items()}
+                    for d in range(dp)
+                ]
+            else:
+                out = self._valid_step(
+                    self.state.params, self.state.bn_state, batch, sub)
+                per_pair = [{k: float(v) for k, v in out.items()}]
+            for out in per_pair:
+                if not np.isfinite(out["rre"]):
+                    continue
+                for k, m in meters.items():
+                    m.update(out[k])
+                fmr.update(float(out["hit_ratio"] > 0.05))
         res = {k: m.avg for k, m in meters.items()}
         res["feat_match_ratio"] = fmr.avg
         logging.info(
@@ -307,9 +361,7 @@ class ContinuousCorrExtensionTrainer(HardestContrastiveLossTrainer):
             step = self._base_step("identity")
             self._run_epoch(step, epoch, lr)
         else:
-            if self._ext_step is None:
-                self._ext_step = self.builder.make_extension_train_step()
-            self._run_epoch(self._ext_step, epoch, lr,
+            self._run_epoch(self._extension_step(), epoch, lr,
                             extra_meters=("labeler_hit_ratio",))
 
 

@@ -1,0 +1,113 @@
+"""Data-parallelism correctness on the 8-device CPU mesh (conftest.py).
+
+1. Synchronized BatchNorm: a dp=8 forward over a sharded batch must equal
+   the single-device forward over the full batch (the psum'd statistics
+   are the global batch statistics — the property SURVEY.md §2.10 claims).
+2. The trainer path builds dp steps: a ContinuousCorrExtensionTrainer with
+   dp_devices=8 runs a real base-mode epoch over the mesh and updates
+   parameters identically on every device (replication invariant).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eyoc_tpu.models import apply_unet, init_unet, load_model
+from eyoc_tpu.parallel.mesh import make_mesh, shard_batch
+from eyoc_tpu.sparse.brick_conv import set_compute_dtype
+from eyoc_tpu.training.pipeline import preprocess_clouds
+from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+CAPS = (256, 256, 128, 128)
+BITS = (8, 8, 7)
+
+
+@pytest.fixture(autouse=True)
+def _f32():
+    set_compute_dtype(jnp.float32)
+    yield
+    set_compute_dtype(jnp.bfloat16)
+
+
+def _clouds(B, n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-6, 6, (B, n, 3)).astype(np.float32), \
+        np.full((B,), n, np.int32)
+
+
+class TestSyncBN:
+    def test_dp_forward_equals_global_forward(self):
+        B = 8
+        xyz, counts = _clouds(B)
+        spec = load_model("ResUNetBN2C")
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
+        mesh = make_mesh(8)
+
+        def fwd(params, bn_state, x, n, axis):
+            vox, pyr = preprocess_clouds(
+                x, n, caps=CAPS, voxel_size=0.3, window_bits=BITS)
+            f, ns = apply_unet(spec, params, bn_state, pyr, training=True,
+                               conv1_kernel_size=5, axis_name=axis)
+            return f.reshape(x.shape[0], CAPS[0], 32), vox.mask, ns
+
+        # single device, full batch
+        f_full, m_full, ns_full = jax.jit(
+            lambda p, s, x, n: fwd(p, s, x, n, None))(
+            params, bn_state, jnp.asarray(xyz), jnp.asarray(counts))
+
+        # dp=8, one cloud per device, synchronized BN
+        sharded = jax.shard_map(
+            lambda p, s, x, n: fwd(p, s, x, n, "dp"),
+            mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp"), P()), check_vma=False)
+        f_dp, m_dp, ns_dp = jax.jit(sharded)(
+            params, bn_state, jnp.asarray(xyz), jnp.asarray(counts))
+
+        np.testing.assert_array_equal(np.asarray(m_full), np.asarray(m_dp))
+        mask = np.asarray(m_full)
+        np.testing.assert_allclose(
+            np.asarray(f_dp)[mask], np.asarray(f_full)[mask],
+            rtol=1e-4, atol=1e-4)
+        # running BN stats also match (psum == global sums)
+        np.testing.assert_allclose(
+            np.asarray(ns_dp["norm1"].mean), np.asarray(ns_full["norm1"].mean),
+            rtol=1e-4, atol=1e-5)
+
+
+class TestTrainerDP:
+    def test_trainer_runs_dp_epoch(self, tmp_path):
+        from eyoc_tpu.config import Config, build_parser
+        from eyoc_tpu.data.loader import make_data_loader
+        from eyoc_tpu.training.trainer import get_trainer
+
+        cfg = Config(vars(build_parser().parse_args([])))
+        cfg.update(dict(
+            dataset="SyntheticPairDataset", trainer="HardestContrastiveLossTrainer",
+            out_dir=str(tmp_path), batch_size=8, dp_devices=8,
+            max_epoch=1, test_valid=False, stat_freq=1,
+            raw_point_capacity=512, voxel_capacity=CAPS[0],
+            voxel_size=0.3, pair_min_dist=1, pair_max_dist=2,
+            num_pos_per_batch=32, num_hn_samples_per_batch=16,
+            window_bits="8,8,7", model="ResUNetBN2C",
+        ))
+        loader = make_data_loader(cfg, "train", cfg.batch_size)
+        # shrink the synthetic dataset to 2 batches
+        loader.dataset.files = loader.dataset.files[:16]
+
+        Trainer = get_trainer(cfg.trainer)
+        trainer = Trainer(cfg, loader)
+        assert trainer.mesh is not None and trainer.dp == 8
+        p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+        trainer.train()
+        p1 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        # params changed and are fully replicated (addressable on all devices)
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+        shards = [np.asarray(s.data) for s in p1.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)

@@ -42,7 +42,7 @@ class TestMorton:
         c = np.stack([
             rng.integers(-512, 512, 1000),
             rng.integers(-512, 512, 1000),
-            rng.integers(-128, 128, 1000),
+            rng.integers(-127, 127, 1000),
         ], -1).astype(np.int32)
         keys = morton.encode(jnp.asarray(c), jnp.ones(1000, bool))
         dec = np.asarray(morton.decode(keys))
@@ -68,7 +68,7 @@ class TestMorton:
             assert (dec == want).all()
 
     def test_invalid(self):
-        c = jnp.asarray([[600, 0, 0], [0, 0, 300]], jnp.int32)
+        c = jnp.asarray([[600, 0, 0], [0, 0, 150]], jnp.int32)
         k = morton.encode(c, jnp.asarray([True, True]))
         assert int(k[0]) == morton.INVALID_KEY  # x out of window
         assert int(k[1]) == morton.INVALID_KEY  # z out of window
@@ -125,6 +125,7 @@ class TestVoxelize:
     def test_mask_and_capacity(self):
         rng = np.random.default_rng(1)
         pts = rng.uniform(-50, 50, (1000, 3)).astype(np.float32)
+        pts[:, 2] *= 0.5  # stay inside the +-38 m z window
         mask = np.arange(1000) < 600
         out = voxelize(jnp.asarray(pts), jnp.asarray(mask), 0.3, 128)
         assert int(out.count) == 128
