@@ -1,0 +1,189 @@
+"""SC2-PCR precomputed-descriptor benchmark harness.
+
+The vendored reference harness (reference scripts/SC2_PCR/test_KITTI.py:
+18-151, dataset.py:193-241, evaluate_metric.py:12-112) is the only in-tree
+path to the published numbers (KITTI+FCGF RR 98.20 / RE 0.33 deg /
+TE 20.95 cm, scripts/SC2_PCR/README.md:132-135): it drives the Matcher
+over directories of .npz files holding precomputed keypoints/descriptors.
+This is the TPU-native equivalent: same file format, same metrics, the
+registration itself is the jitted `sc2_pcr_estimator`.
+
+Usage:
+    python -m eyoc_tpu.benchmarks.descriptor_eval \
+        --root /data/SC2_PCR/KITTI --dataset KITTI --descriptor fcgf
+
+npz fields (reference dataset.py:218-231): xyz0, xyz1, features0,
+features1, gt_trans. FPFH descriptors are L2-normalized on load.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+# dataset presets mirror reference scripts/SC2_PCR/config_json/*.json
+PRESETS = {
+    "KITTI": dict(d_thre=0.1, num_iterations=20, ratio=0.2, nms_radius=0.6,
+                  max_points=8000, k1=30, k2=20, inlier_threshold=0.6,
+                  re_thre=5.0, te_thre=60.0),
+    "3DMatch": dict(d_thre=0.1, num_iterations=10, ratio=0.2, nms_radius=0.1,
+                    max_points=8000, k1=30, k2=20, inlier_threshold=0.1,
+                    re_thre=15.0, te_thre=30.0),
+    "3DLoMatch": dict(d_thre=0.1, num_iterations=10, ratio=0.2, nms_radius=0.1,
+                      max_points=8000, k1=30, k2=20, inlier_threshold=0.1,
+                      re_thre=15.0, te_thre=30.0),
+}
+
+
+class NpzPairLoader:
+    """reference dataset.py:193-241 (KITTILoader): one .npz per pair."""
+
+    def __init__(self, root: str, descriptor: str = "fcgf"):
+        assert descriptor in ("fcgf", "fpfh")
+        self.descriptor = descriptor
+        self.files = sorted(
+            os.path.join(root, f) for f in os.listdir(root)
+            if f.endswith(".npz"))
+
+    def __len__(self):
+        return len(self.files)
+
+    def get_data(self, i: int):
+        data = np.load(self.files[i])
+        f0 = data["features0"].astype(np.float32)
+        f1 = data["features1"].astype(np.float32)
+        if self.descriptor == "fpfh":
+            f0 = f0 / (np.linalg.norm(f0, axis=1, keepdims=True) + 1e-6)
+            f1 = f1 / (np.linalg.norm(f1, axis=1, keepdims=True) + 1e-6)
+        return (data["xyz0"].astype(np.float32),
+                data["xyz1"].astype(np.float32), f0, f1,
+                data["gt_trans"].astype(np.float32))
+
+
+def transformation_metrics(trans, gt_trans, src_corr, tgt_corr,
+                           pred_labels, re_thre=15.0, te_thre=30.0):
+    """reference evaluate_metric.py:12-64 (TransformationLoss), numpy.
+
+    Returns dict(recall 0/100, re_deg, te_cm, rmse)."""
+    R, t = trans[:3, :3], trans[:3, 3]
+    gR, gt_ = gt_trans[:3, :3], gt_trans[:3, 3]
+    re = np.degrees(np.arccos(np.clip((np.trace(R.T @ gR) - 1) / 2, -1, 1)))
+    te = float(np.linalg.norm(t - gt_)) * 100.0
+    warp = src_corr @ R.T + t
+    rmse = float(np.linalg.norm(warp - tgt_corr, axis=-1).mean())
+    recall = 100.0 if (te < te_thre and re < re_thre) else 0.0
+    return dict(recall=recall, re_deg=float(re), te_cm=te, rmse=rmse)
+
+
+def classification_metrics(pred_labels, gt_labels):
+    """reference evaluate_metric.py:66-112 (ClassificationLoss), numpy:
+    inlier precision / recall / F1 of the predicted inlier set."""
+    pred = np.asarray(pred_labels) > 0
+    gt = np.asarray(gt_labels) > 0
+    tp = float(np.sum(pred & gt))
+    precision = tp / max(1.0, float(np.sum(pred)))
+    recall = tp / max(1.0, float(np.sum(gt)))
+    f1 = 2 * precision * recall / max(1e-12, precision + recall)
+    return dict(inlier_precision=precision, inlier_recall=recall, f1=f1)
+
+
+def eval_descriptor_pairs(loader, dataset: str = "KITTI",
+                          num_pairs: int = -1, log_every: int = 50):
+    """Run the full per-pair protocol (reference test_KITTI.py:18-102)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eyoc_tpu.registration.sc2pcr import SC2PCRConfig, sc2_pcr_estimator
+
+    preset = PRESETS[dataset]
+    cap = preset["max_points"]
+    cfg = SC2PCRConfig(
+        d_thre=preset["d_thre"], num_iterations=preset["num_iterations"],
+        ratio=preset["ratio"], nms_radius=preset["nms_radius"],
+        max_points=cap, k1=preset["k1"], k2=preset["k2"],
+        inlier_threshold=preset["inlier_threshold"],
+        seed_cap=int(cap * preset["ratio"]))
+
+    def pad(a, n, d):
+        out = np.zeros((n, d), np.float32)
+        out[: len(a)] = a[:n]
+        return out
+
+    N = len(loader) if num_pairs < 0 else min(num_pairs, len(loader))
+    stats = []
+    t_model = 0.0
+    for i in range(N):
+        x0, x1, f0, f1, gt = loader.get_data(i)
+        m0 = np.arange(cap) < len(x0)
+        m1 = np.arange(cap) < len(x1)
+        t0 = time.perf_counter()
+        trans, labels, _, nn = sc2_pcr_estimator(
+            jnp.asarray(pad(x0, cap, 3)), jnp.asarray(pad(f0, cap, f0.shape[1])),
+            jnp.asarray(m0),
+            jnp.asarray(pad(x1, cap, 3)), jnp.asarray(pad(f1, cap, f1.shape[1])),
+            jnp.asarray(m1), cfg)
+        trans = np.asarray(trans)
+        n0 = len(x0)
+        labels = np.asarray(labels)[:n0]
+        nn = np.asarray(nn)[:n0]
+        t_model += time.perf_counter() - t0
+
+        # correspondence set (reference test_KITTI.py:40-57): source
+        # keypoints + their feature-matched targets
+        src_corr = x0
+        tgt_corr = x1[np.clip(nn, 0, len(x1) - 1)]
+        # gt inlier labels under gt_trans (reference test_KITTI.py:48-51)
+        warp = x0 @ gt[:3, :3].T + gt[:3, 3]
+        gt_labels = (np.linalg.norm(warp - tgt_corr, axis=-1)
+                     < preset["inlier_threshold"]).astype(np.float32)
+        tm = transformation_metrics(
+            trans, gt, src_corr, tgt_corr, labels,
+            re_thre=preset["re_thre"], te_thre=preset["te_thre"])
+        tm.update(classification_metrics(labels, gt_labels))
+        tm["inlier_ratio"] = float(gt_labels.mean())
+        stats.append(tm)
+        if i % log_every == 0:
+            rr = np.mean([s["recall"] for s in stats])
+            logging.info(f"{i}/{N} RR {rr:.2f}")
+
+    # reference reports RE/TE averaged over SUCCESSFUL pairs only
+    # (test_KITTI.py:106-118)
+    ok = [s for s in stats if s["recall"] > 0]
+    return dict(
+        rr=float(np.mean([s["recall"] for s in stats])),
+        re_deg=float(np.mean([s["re_deg"] for s in ok])) if ok else float("nan"),
+        te_cm=float(np.mean([s["te_cm"] for s in ok])) if ok else float("nan"),
+        f1=float(np.mean([s["f1"] for s in stats])),
+        precision=float(np.mean([s["inlier_precision"] for s in stats])),
+        inlier_ratio=float(np.mean([s["inlier_ratio"] for s in stats])),
+        model_time=t_model / max(1, N),
+        n=N,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--dataset", default="KITTI",
+                   choices=sorted(PRESETS))
+    p.add_argument("--descriptor", default="fcgf", choices=["fcgf", "fpfh"])
+    p.add_argument("--num_pairs", default=-1, type=int)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                        format="%(asctime)s %(message)s")
+    loader = NpzPairLoader(args.root, args.descriptor)
+    res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs)
+    logging.info(
+        f"RR {res['rr']:.2f}%  RE {res['re_deg']:.3f} deg  "
+        f"TE {res['te_cm']:.2f} cm  model {res['model_time']*1e3:.1f} ms/pair "
+        f"({res['n']} pairs)")
+    return res
+
+
+if __name__ == "__main__":
+    main()

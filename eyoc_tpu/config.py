@@ -173,6 +173,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel devices (-1 = all)")
     g.add_argument("--multihost", type=str2bool, default=False,
                    help="jax.distributed.initialize for multi-host DCN meshes")
+    g.add_argument("--use_jitter", type=str2bool, default=True,
+                   help="sigma=0.01 input-feature noise in train phases "
+                        "(reference lib/transforms.py:18-30)")
     g.add_argument("--window_bits", type=str, default="10,10,8",
                    help="Morton window bits per axis (x,y,z); the spatial "
                         "window is +-2^(b-1) voxels per axis")

@@ -201,7 +201,9 @@ def sc2_pcr_estimator(
     """Full estimator: feature argmin matching -> SC2-PCR
     (reference Matcher.estimator, SC2_PCR.py:386-413).
 
-    Returns (trans [4,4], inlier_labels [N], fitness).
+    Returns (trans [4,4], inlier_labels [N], fitness, nn [N]) where nn is
+    the matched target row per source (the correspondence set the
+    reference metrics evaluate on, test_KITTI.py:40-57).
     """
     _, nn = masked_argmin(src_feat, src_mask, tgt_feat, tgt_mask, tile=knn_tile)
     src_corr = src_xyz
@@ -211,4 +213,4 @@ def sc2_pcr_estimator(
     warped = transform_points(src_corr, trans)
     dist = jnp.linalg.norm(warped - tgt_corr, axis=-1)
     labels = ((dist < cfg.inlier_threshold) & valid).astype(jnp.float32)
-    return trans, labels, fitness
+    return trans, labels, fitness, nn

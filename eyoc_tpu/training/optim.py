@@ -37,6 +37,41 @@ def sgd_update(params, grads, state: SGDState, *, lr, momentum=0.8, weight_decay
     return new_params, SGDState(new_buf)
 
 
+class AdamState(NamedTuple):
+    m: dict
+    v: dict
+    t: jnp.ndarray  # [] int32 step counter
+
+
+def adam_init(params) -> AdamState:
+    z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+    return AdamState(z(), z(), jnp.int32(0))
+
+
+def adam_update(params, grads, state: AdamState, *, lr, betas=(0.9, 0.999),
+                eps=1e-8, weight_decay=1e-4):
+    """torch.optim.Adam semantics (L2 into grad, bias-corrected moments) —
+    the reference builds its optimizer via getattr(torch.optim, name)
+    (reference lib/trainer.py:80-84)."""
+    t = state.t + 1
+    b1, b2 = betas
+    tf = t.astype(jnp.float32)
+    c1 = 1.0 - b1 ** tf
+    c2 = 1.0 - b2 ** tf
+
+    def upd(p, g, m, v):
+        g = g + weight_decay * p
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        step = lr * (m / c1) / (jnp.sqrt(v / c2) + eps)
+        return p - step, m, v
+
+    flat = jax.tree_util.tree_map(upd, params, grads, state.m, state.v)
+    pick = lambda i: jax.tree_util.tree_map(
+        lambda tpl: tpl[i], flat, is_leaf=lambda x: isinstance(x, tuple))
+    return pick(0), AdamState(pick(1), pick(2), t)
+
+
 def exp_lr(base_lr: float, gamma: float, epoch: int) -> float:
     """epoch is 1-based; matches torch ExponentialLR stepped per epoch."""
     return base_lr * (gamma ** (epoch - 1))

@@ -41,7 +41,14 @@ from eyoc_tpu.training.loss import (
     random_negative_contrastive_loss,
     triplet_loss,
 )
-from eyoc_tpu.training.optim import SGDState, sgd_init, sgd_update
+from eyoc_tpu.training.optim import (
+    AdamState,
+    SGDState,
+    adam_init,
+    adam_update,
+    sgd_init,
+    sgd_update,
+)
 from eyoc_tpu.training.pipeline import (
     RawBatch,
     flatten_pairs,
@@ -53,18 +60,19 @@ from eyoc_tpu.training.pipeline import (
 class TrainState(NamedTuple):
     params: dict
     bn_state: dict
-    opt: SGDState
+    opt: SGDState | AdamState
     labeler_params: dict          # mirrors params; inert until extension mode
     labeler_bn_state: dict
     num_updates: jnp.ndarray      # [] int32 EMA update counter
     key: jax.Array
 
 
-def init_train_state(params, bn_state, key) -> TrainState:
+def init_train_state(params, bn_state, key, optimizer: str = "SGD") -> TrainState:
+    init = adam_init if optimizer == "Adam" else sgd_init
     return TrainState(
         params=params,
         bn_state=bn_state,
-        opt=sgd_init(params),
+        opt=init(params),
         labeler_params=jax.tree_util.tree_map(lambda x: x.copy(), params),
         labeler_bn_state=jax.tree_util.tree_map(lambda x: x.copy(), bn_state),
         num_updates=jnp.int32(0),
@@ -103,6 +111,14 @@ class StepConfig:
     rediscovery_radius: float = 2.0   # "within 2 m" (lib/trainer.py:1211)
     hit_ratio_thresh: float = 0.1
     normalize_feature: bool = True
+    # optimizer (reference getattr(torch.optim, cfg.optimizer),
+    # lib/trainer.py:80-84); published runs use SGD
+    optimizer: str = "SGD"
+    adam_betas: tuple = (0.9, 0.999)
+    # Jitter input-feature noise (reference lib/transforms.py:18-30,
+    # applied in train phases at lib/data_loaders.py:1827-1830)
+    use_jitter: bool = True
+    jitter_sigma: float = 0.01
     axis_name: Optional[str] = None   # set to "dp" under shard_map
     eval_sample_points: int = 5000
     # which metric loss the trainer uses (reference trainer registry,
@@ -191,13 +207,29 @@ class StepBuilder:
             return loss, pd, nd
         raise ValueError(f"unknown loss_kind {c.loss_kind!r}")
 
-    def _grads(self, params, bn_state, pyr0, pyr1, pos_flat, key):
+    def _jitter(self, key, n_items: int, n_rows: int):
+        """Per-item-gated N(0, sigma) noise on the all-ones input features
+        (reference Jitter, lib/transforms.py:18-30: p=0.95 per item).
+        Returns [n_rows, 1] features or None when disabled."""
+        c = self.cfg
+        if not c.use_jitter:
+            return None
+        kk, kg = jax.random.split(key)
+        apply_item = jax.random.uniform(kk, (n_items,)) < 0.95
+        noise = c.jitter_sigma * jax.random.normal(kg, (n_rows, 1))
+        per_row = jnp.repeat(apply_item, n_rows // n_items)
+        return 1.0 + noise * per_row[:, None]
+
+    def _grads(self, params, bn_state, pyr0, pyr1, pos_flat, key,
+               in0=None, in1=None):
         c = self.cfg
         pos_i, pos_j, pos_valid = pos_flat
 
         def loss_fn(params):
-            f0, ns0 = self._forward(params, bn_state, pyr0, training=True)
-            f1, ns1 = self._forward(params, ns0, pyr1, training=True)
+            f0, ns0 = self._forward(params, bn_state, pyr0, training=True,
+                                    in_feats=in0)
+            f1, ns1 = self._forward(params, ns0, pyr1, training=True,
+                                    in_feats=in1)
             m0 = pyr0.vox_masks[0]
             m1 = pyr1.vox_masks[0]
             loss, pos_loss, neg_loss = self._metric_loss(
@@ -214,10 +246,16 @@ class StepBuilder:
         c = self.cfg
         if c.axis_name is not None:
             grads = jax.lax.pmean(grads, c.axis_name)
-        new_params, new_opt = sgd_update(
-            state.params, grads, state.opt,
-            lr=lr, momentum=c.momentum, weight_decay=c.weight_decay,
-        )
+        if c.optimizer == "Adam":
+            new_params, new_opt = adam_update(
+                state.params, grads, state.opt,
+                lr=lr, betas=c.adam_betas, weight_decay=c.weight_decay,
+            )
+        else:
+            new_params, new_opt = sgd_update(
+                state.params, grads, state.opt,
+                lr=lr, momentum=c.momentum, weight_decay=c.weight_decay,
+            )
         return state._replace(params=new_params, bn_state=new_bn, opt=new_opt)
 
     def _loss_and_update(self, state: TrainState, pyr0, pyr1, pos_flat, lr, key):
@@ -281,6 +319,7 @@ class StepBuilder:
         assert label_mode in ("identity", "gt")
 
         def micro(params, bn_state, batch: RawBatch, key):
+            k_j0, k_j1, key = jax.random.split(key, 3)
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
             trans = batch.T_gt if label_mode == "gt" else (
                 jnp.broadcast_to(jnp.eye(4), batch.T_gt.shape)
@@ -288,8 +327,12 @@ class StepBuilder:
             i0, i1, ok = gt_positive_pairs(
                 vox0, vox1, trans, batch.search_radius, knn_tile=c.knn_tile)
             pos_flat = flatten_pairs(i0, i1, ok, c.caps[0], c.caps[0])
+            B = batch.xyz0.shape[0]
+            n_rows = B * c.caps[0]
             grads, new_bn, metrics = self._grads(
-                params, bn_state, pyr0, pyr1, pos_flat, key)
+                params, bn_state, pyr0, pyr1, pos_flat, key,
+                in0=self._jitter(k_j0, B, n_rows),
+                in1=self._jitter(k_j1, B, n_rows))
             metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
             return grads, new_bn, metrics
 
@@ -347,15 +390,21 @@ class StepBuilder:
 
         def micro(params, bn_state, batch: RawBatch, key, labeler_params,
                   labeler_bn_state):
-            k_label, k_loss = jax.random.split(key)
+            k_label, k_loss, k_j0, k_j1 = jax.random.split(key, 4)
             vox0, pyr0, vox1, pyr1 = self._preprocess(batch)
+            B = batch.xyz0.shape[0]
+            n_rows = B * c.caps[0]
+            in0 = self._jitter(k_j0, B, n_rows)
+            in1 = self._jitter(k_j1, B, n_rows)
 
             # frozen labeler forward (train-mode BN like the reference's
-            # never-.eval()'d labeler; its state updates are discarded)
+            # never-.eval()'d labeler; its state updates are discarded);
+            # sees the same jittered inputs as the student (the reference
+            # jitters the dataset features once for both forwards)
             F0L, _ = self._forward(labeler_params, labeler_bn_state,
-                                   pyr0, training=True)
+                                   pyr0, training=True, in_feats=in0)
             F1L, _ = self._forward(labeler_params, labeler_bn_state,
-                                   pyr1, training=True)
+                                   pyr1, training=True, in_feats=in1)
             B, cap = vox0.mask.shape
             F0L = jax.lax.stop_gradient(F0L).reshape(B, cap, -1)
             F1L = jax.lax.stop_gradient(F1L).reshape(B, cap, -1)
@@ -367,7 +416,8 @@ class StepBuilder:
             )
             pos_flat = flatten_pairs(pos_i, pos_j, ok, c.caps[0], c.caps[0])
             grads, new_bn, metrics = self._grads(
-                params, bn_state, pyr0, pyr1, pos_flat, k_loss)
+                params, bn_state, pyr0, pyr1, pos_flat, k_loss,
+                in0=in0, in1=in1)
             metrics["labeler_hit_ratio"] = jnp.mean(labeler_hits)
             metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
             return grads, new_bn, metrics
@@ -390,13 +440,20 @@ class StepBuilder:
             x0, x1 = vox0.xyz[0], vox1.xyz[0]
             T_gt = batch.T_gt[0]
 
-            noise = jnp.where(m0, jax.random.uniform(key, m0.shape), 2.0)
-            _, sel = jax.lax.top_k(-noise, c.eval_sample_points)
-            sel_ok = jnp.take(m0, sel)
-            _, nn = masked_argmin(jnp.take(f0, sel, axis=0), sel_ok, f1, m1,
+            k0, k1 = jax.random.split(key)
+            noise0 = jnp.where(m0, jax.random.uniform(k0, m0.shape), 2.0)
+            _, sel0 = jax.lax.top_k(-noise0, c.eval_sample_points)
+            sel_ok = jnp.take(m0, sel0)
+            # the reference subsamples BOTH clouds to 5000 before the NN
+            # (find_corr, lib/trainer.py:405-419)
+            noise1 = jnp.where(m1, jax.random.uniform(k1, m1.shape), 2.0)
+            _, sel1 = jax.lax.top_k(-noise1, c.eval_sample_points)
+            sel1_ok = jnp.take(m1, sel1)
+            _, nn = masked_argmin(jnp.take(f0, sel0, axis=0), sel_ok,
+                                  jnp.take(f1, sel1, axis=0), sel1_ok,
                                   tile=c.knn_tile)
-            xyz0_c = jnp.take(x0, sel, axis=0)
-            xyz1_c = jnp.take(x1, nn, axis=0)
+            xyz0_c = jnp.take(x0, sel0, axis=0)
+            xyz1_c = jnp.take(jnp.take(x1, sel1, axis=0), nn, axis=0)
             T_est = est_quad_linear_robust(xyz0_c, xyz1_c, mask=sel_ok)
             hit = hit_ratio(xyz0_c, xyz1_c, T_gt, c.hit_ratio_thresh, mask=sel_ok)
             return {
@@ -447,7 +504,7 @@ class StepBuilder:
                 T_est, _ = ransac_registration(
                     sx0, jnp.take(sx1, nn, axis=0), sm0, k2, ransac)
             else:
-                T_est, _, _ = sc2_pcr_estimator(
+                T_est, _, _, _ = sc2_pcr_estimator(
                     sx0, sf0, sm0, sx1, sf1, sm1, c.sc2, knn_tile=c.knn_tile)
             return T_est
 
@@ -484,7 +541,7 @@ class StepBuilder:
                 T_est, _ = ransac_registration(
                     sx0, jnp.take(sx1, nn, axis=0), sm0, k2, ransac)
             else:
-                T_est, _, _ = sc2_pcr_estimator(
+                T_est, _, _, _ = sc2_pcr_estimator(
                     sx0, sf0, sm0, sx1, sf1, sm1, c.sc2, knn_tile=c.knn_tile)
 
             T_gt = batch.T_gt[0]

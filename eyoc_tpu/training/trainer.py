@@ -87,6 +87,9 @@ def build_step_config(config: Config, spec, *, axis_name=None,
         axis_name=axis_name,
         loss_kind=loss_kind,
         window_bits=window_bits_of(config),
+        optimizer=config.get("optimizer", "SGD"),
+        adam_betas=(config.get("adam_beta1", 0.9), config.get("adam_beta2", 0.999)),
+        use_jitter=bool(config.get("use_jitter", True)),
     )
 
 
@@ -100,7 +103,11 @@ class AlignmentTrainer:
         self.config = config
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
-        # fail fast on bad dp configs (before any model compilation)
+        # fail fast on bad configs (before any model compilation)
+        if config.get("optimizer", "SGD") not in ("SGD", "Adam"):
+            raise ValueError(
+                f"unknown optimizer {config.get('optimizer')!r}; "
+                "available: SGD, Adam")
         self.dp = dp_device_count(config)
         if self.dp > 1 and config.batch_size % self.dp != 0:
             raise ValueError(
@@ -122,7 +129,8 @@ class AlignmentTrainer:
             self.spec, jax.random.PRNGKey(config.get("seed", 0)),
             1, config.model_n_out, config.conv1_kernel_size)
         self.state = init_train_state(
-            params, bn_state, jax.random.PRNGKey(config.get("seed", 0) + 1))
+            params, bn_state, jax.random.PRNGKey(config.get("seed", 0) + 1),
+            optimizer=config.get("optimizer", "SGD"))
 
         sim = None
         if config.spatial_filter == "Similarity":
@@ -372,16 +380,33 @@ class CorrespondenceExtensionTrainer(ContinuousCorrExtensionTrainer):
     def __init__(self, config, data_loader, val_data_loader=None):
         super().__init__(config, data_loader, val_data_loader)
         labeler_path = None
+        self.labeler_max_dist = None
+        if config.labeler_dir:
+            # the labeler run's OWN config supplies its architecture and its
+            # pair_max_dist (reference lib/trainer.py:817-836)
+            lcfg_path = os.path.join(config.labeler_dir, "config.json")
+            if os.path.exists(lcfg_path):
+                lcfg = Config.load(lcfg_path)
+                self.labeler_max_dist = lcfg.get("pair_max_dist")
+                if (lcfg.get("model", config.model) != config.model or
+                        lcfg.get("model_n_out") != config.model_n_out):
+                    raise ValueError(
+                        "labeler architecture differs from the student "
+                        f"({lcfg.get('model')}/{lcfg.get('model_n_out')} vs "
+                        f"{config.model}/{config.model_n_out}); shared-"
+                        "parameter-shape labelers only")
+            labeler_path = os.path.join(config.labeler_dir, "checkpoint")
         if config.labeler_weight:
             labeler_path = config.labeler_weight
-        elif config.labeler_dir:
-            labeler_path = os.path.join(config.labeler_dir, "best_val_checkpoint")
         if labeler_path:
             p, b = ckpt.load_weights_only(
                 labeler_path, self.state.labeler_params, self.state.labeler_bn_state)
             self.state = self.state._replace(labeler_params=p, labeler_bn_state=b)
             self.labeler_initialized = True
-            logging.info(f"Loaded frozen labeler from {labeler_path}")
+            logging.info(
+                f"Loaded frozen labeler from {labeler_path}"
+                + (f" (labeler pair_max_dist={self.labeler_max_dist})"
+                   if self.labeler_max_dist is not None else ""))
 
     def _sync_labeler(self, base_mode: bool):
         if self.labeler_initialized:

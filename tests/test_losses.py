@@ -107,3 +107,60 @@ class TestOtherLosses:
             jax.random.PRNGKey(0), num_pos=64, num_hn_samples=32,
             num_rand_triplet=64)
         assert np.isfinite(float(loss)) and float(loss) >= 0
+
+
+class TestAdam:
+    def test_matches_torch_adam(self):
+        import torch
+        from eyoc_tpu.training.optim import adam_init, adam_update
+
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal((5, 3)).astype(np.float32)
+        params = {"w": jnp.asarray(p0)}
+        state = adam_init(params)
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        opt = torch.optim.Adam([tp], lr=1e-2, weight_decay=1e-4)
+        for step in range(5):
+            g = rng.standard_normal((5, 3)).astype(np.float32)
+            params, state = adam_update(
+                params, {"w": jnp.asarray(g)}, state, lr=1e-2,
+                weight_decay=1e-4)
+            opt.zero_grad()
+            tp.grad = torch.from_numpy(g.copy())
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+class TestJitter:
+    def test_jitter_shape_and_gating(self):
+        from eyoc_tpu.models import load_model
+        from eyoc_tpu.training.steps import StepBuilder, StepConfig
+
+        spec = load_model("ResUNetBN2C")
+        cfg = StepConfig(spec=spec, caps=(64, 64, 64, 64), voxel_size=0.3,
+                         conv1_kernel_size=5, use_jitter=True,
+                         jitter_sigma=0.01, window_bits=(8, 8, 7))
+        b = StepBuilder(cfg)
+        f = b._jitter(jax.random.PRNGKey(0), 4, 4 * 64)
+        f = np.asarray(f)
+        assert f.shape == (256, 1)
+        # most rows jittered around 1.0, sigma 0.01
+        dev = np.abs(f - 1.0)
+        assert dev.max() < 0.08 and dev.max() > 0.0
+        # per-item gating: across many keys, ~5% of items pass through clean
+        clean = 0
+        trials = 200
+        for s in range(trials):
+            f = np.asarray(b._jitter(jax.random.PRNGKey(s), 1, 64))
+            clean += int(np.all(f == 1.0))
+        assert 0 < clean < 0.15 * trials
+
+    def test_jitter_disabled(self):
+        from eyoc_tpu.models import load_model
+        from eyoc_tpu.training.steps import StepBuilder, StepConfig
+
+        spec = load_model("ResUNetBN2C")
+        cfg = StepConfig(spec=spec, caps=(64, 64, 64, 64), voxel_size=0.3,
+                         conv1_kernel_size=5, use_jitter=False)
+        assert StepBuilder(cfg)._jitter(jax.random.PRNGKey(0), 2, 128) is None

@@ -61,7 +61,7 @@ class TestSC2PCR:
         f_tgt = f + rng.normal(0, 0.05, f.shape).astype(np.float32)
         f_tgt /= np.linalg.norm(f_tgt, axis=1, keepdims=True)
         perm = rng.permutation(512)
-        trans, labels, _ = sc2_pcr_estimator(
+        trans, labels, _, _ = sc2_pcr_estimator(
             jnp.asarray(src), jnp.asarray(f), jnp.ones(512, bool),
             jnp.asarray(tgt[perm]), jnp.asarray(f_tgt[perm]), jnp.ones(512, bool),
             CFG,
