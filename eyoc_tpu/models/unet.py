@@ -25,13 +25,22 @@ import jax
 import jax.numpy as jnp
 
 from eyoc_tpu.sparse import brick_conv
-from eyoc_tpu.sparse.brick_conv import conv1x1, conv_down, conv_same, conv_up
+from eyoc_tpu.sparse.brick_conv import (
+    conv1x1,
+    conv_down,
+    conv_same,
+    conv_up,
+    fb_concat,
+    fb_to_vox,
+    occ_mask,
+    vox_to_fb,
+)
 from eyoc_tpu.sparse.bricks import BrickPyramid
 from eyoc_tpu.sparse.norm import (
     BatchNormState,
     init_bn_state,
-    masked_batch_norm,
-    masked_instance_norm,
+    masked_batch_norm_fb,
+    masked_instance_norm_fb,
 )
 
 
@@ -146,31 +155,51 @@ def init_unet(
 # ---------------------------------------------------------------- apply
 
 
-def _norm(kind, p, s, x, occ, *, training, momentum, axis_name):
-    """x [N, C] (any float dtype), occ [N] bool -> (y f32 [N, C], new_state)."""
-    xf = x.astype(jnp.float32)[None]
+def _norm(kind, p, s, fb, level, *, training, momentum, axis_name,
+          out_dtype=None):
+    """fb [NB, 8C] any float dtype -> (y [NB, 8C] out_dtype, new_state).
+
+    Stats semantics match MinkowskiBatchNorm / InstanceNorm over valid
+    voxels (reference model/common.py:4-10); computed in f32, stored in the
+    activation dtype."""
+    NB = level.bkeys.shape[0]
+    occ8 = level.occ.reshape(NB, 8)
     if kind == "BN":
-        y, ns = masked_batch_norm(
-            xf, occ[None], p["scale"], p["bias"], s,
+        return masked_batch_norm_fb(
+            fb, occ8, p["scale"], p["bias"], s,
             momentum=momentum, training=training, axis_name=axis_name,
+            out_dtype=out_dtype,
         )
-        return y[0], ns
-    return masked_instance_norm(xf, occ[None], p["scale"], p["bias"])[0], None
+    # IN: statistics over the whole folded batch as a single instance
+    # (matches the previous engine's behavior; per-cloud IN would need the
+    # static segment count threaded through — the IN model variants are
+    # registry alternates, not published configurations).
+    from eyoc_tpu.sparse.norm import BatchNormState as _BNS
+    dummy = _BNS(jnp.zeros_like(p["scale"]), jnp.ones_like(p["scale"]))
+    y, _ = masked_batch_norm_fb(
+        fb, occ8, p["scale"], p["bias"], dummy,
+        momentum=0.0, training=True, axis_name=axis_name,
+        out_dtype=out_dtype,
+    )
+    return y, None
 
 
-def _block(kind, p, s, x, level, *, training, momentum, axis_name):
+def _block(kind, p, s, fb, level, *, training, momentum, axis_name):
     """Residual BasicBlock (reference model/residual_block.py:9-77):
-    conv3-norm-relu-conv3-norm + skip, relu. x [N, C] bf16."""
-    residual = x
-    out = conv_same(x, level, p["conv1"])
-    out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, level.occ,
-                    training=training, momentum=momentum, axis_name=axis_name)
-    out = jax.nn.relu(out).astype(brick_conv.DTYPE)
+    conv3-norm-relu-conv3-norm + skip, relu. fb [NB, 8C] bf16."""
+    residual = fb
+    out = conv_same(fb, level, p["conv1"])
+    out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, level,
+                    training=training, momentum=momentum, axis_name=axis_name,
+                    out_dtype=brick_conv.DTYPE)
+    out = jax.nn.relu(out)
     out = conv_same(out, level, p["conv2"])
-    out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, level.occ,
-                    training=training, momentum=momentum, axis_name=axis_name)
-    out = jax.nn.relu(out + residual.astype(jnp.float32))
-    out = (out * level.occ[:, None]).astype(brick_conv.DTYPE)
+    out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, level,
+                    training=training, momentum=momentum, axis_name=axis_name,
+                    out_dtype=brick_conv.DTYPE)
+    out = jax.nn.relu(out + residual)
+    C = out.shape[1] // 8
+    out = out * occ_mask(level, C, out.dtype)
     return out, ({"norm1": s1, "norm2": s2} if s else None)
 
 
@@ -200,59 +229,58 @@ def apply_unet(
     assert len(levels) >= L, "pyramid shallower than the model"
     new_state = {}
 
-    def norm(name, x, occ):
+    def norm(name, fb, level, out_dtype=None):
         y, s = _norm(spec.norm_type, params[name],
-                     bn_state.get(name) if bn_state else None, x, occ,
-                     training=training, momentum=bn_momentum, axis_name=axis_name)
+                     bn_state.get(name) if bn_state else None, fb, level,
+                     training=training, momentum=bn_momentum,
+                     axis_name=axis_name, out_dtype=out_dtype)
         new_state[name] = s
         return y
 
-    def block(name, x, level):
+    def block(name, fb, level):
         y, s = _block(spec.block_norm_type, params[name],
-                      bn_state.get(name) if bn_state else None, x, level,
+                      bn_state.get(name) if bn_state else None, fb, level,
                       training=training, momentum=bn_momentum,
                       axis_name=axis_name)
         new_state[name] = s
         return y
 
-    def level_tail(prefix, x, level):
+    def level_tail(prefix, fb, level):
         """norm (-> block [-> relu -> norm_2 -> block_2]...) .
 
         Returns (post_relu bf16, skip bf16) where skip follows the reference:
         block output for ResUNet families, PRE-relu norm output for
         SimpleNet (reference model/simpleunet.py:97-99 vs resunet.py:142-146).
         """
-        x = norm(f"norm{prefix}", x, level.occ)
+        C = fb.shape[1] // 8
         if spec.block_norm_type:
-            x = block(f"block{prefix}", x.astype(brick_conv.DTYPE), level)
+            x = norm(f"norm{prefix}", fb, level, out_dtype=brick_conv.DTYPE)
+            x = block(f"block{prefix}", x, level)
             for r in range(2, spec.repeats + 1):
-                x = norm(f"norm{prefix}_{r}", jax.nn.relu(x), level.occ)
-                x = block(f"block{prefix}_{r}", x.astype(brick_conv.DTYPE), level)
-            skip = x
-            return x, skip  # block already ends in relu
-        skip = (x * level.occ[:, None]).astype(brick_conv.DTYPE)
-        post = jax.nn.relu(x).astype(brick_conv.DTYPE) * level.occ[:, None]
+                x = norm(f"norm{prefix}_{r}", jax.nn.relu(x), level,
+                         out_dtype=brick_conv.DTYPE)
+                x = block(f"block{prefix}_{r}", x, level)
+            return x, x  # block already ends in relu
+        x = norm(f"norm{prefix}", fb, level, out_dtype=brick_conv.DTYPE)
+        skip = x                                     # pre-relu (SimpleNet)
+        post = jax.nn.relu(x)
         return post, skip
 
     lvl0 = levels[0]
     NB0 = lvl0.bkeys.shape[0]
     if in_feats is None:
-        cells0 = lvl0.occ[:, None].astype(brick_conv.DTYPE)
+        fb0 = lvl0.occ.reshape(NB0, 8).astype(brick_conv.DTYPE)
     else:
-        n0 = NB0 * 8
-        cells0 = jnp.zeros((n0, in_feats.shape[-1]), brick_conv.DTYPE)
-        cells0 = cells0.at[lvl0.cellslot].set(
-            in_feats.astype(brick_conv.DTYPE), mode="drop")
-        cells0 = cells0 * lvl0.occ[:, None]
+        fb0 = vox_to_fb(lvl0, in_feats.astype(brick_conv.DTYPE))
 
     # ---- encoder
     skips = []
-    out = conv_same(cells0, lvl0, params["conv1"], k=conv1_kernel_size)
+    out = conv_same(fb0, lvl0, params["conv1"], k=conv1_kernel_size)
     out, skip = level_tail("1", out, lvl0)
     skips.append(skip)
     for l in range(2, L + 1):
         out = conv_down(out, levels[l - 2], levels[l - 1], params[f"conv{l}"])
-        out, skip = level_tail(str(l), out.astype(brick_conv.DTYPE), levels[l - 1])
+        out, skip = level_tail(str(l), out, levels[l - 1])
         skips.append(skip)
 
     # ---- decoder
@@ -260,23 +288,23 @@ def apply_unet(
         out = conv_up(out, levels[l - 2], params[f"conv{l}_tr"])
         out, _ = level_tail(f"{l}_tr", out, levels[l - 2])
         # ME.cat(out_tr, out_enc): decoder features first
-        out = jnp.concatenate([out, skips[l - 2]], axis=-1)
+        out = fb_concat(out, spec.tr_channels[l - 1], skips[l - 2],
+                        spec.channels[l - 2])
 
     # conv1_tr on the concatenated stride-1 tensor
     if spec.conv1_tr_kernel == 1:
-        out = conv1x1(out, params["conv1_tr"][0], occ=lvl0.occ)
+        out = conv1x1(out, params["conv1_tr"][0], level=lvl0)
     else:
         out = conv_same(out, lvl0, params["conv1_tr"])
     if spec.conv1_tr_norm:
-        out = norm("norm1_tr", out, lvl0.occ)
-    out = jax.nn.relu(out).astype(brick_conv.DTYPE)
+        out = norm("norm1_tr", out, lvl0, out_dtype=brick_conv.DTYPE)
+    out = jax.nn.relu(out)
 
     out = conv1x1(out, params["final"]["w"], bias=params["final"]["b"],
-                  occ=lvl0.occ)
+                  level=lvl0)
 
     # back to voxel layout
-    z = jnp.zeros((1, out.shape[-1]), out.dtype)
-    feats = jnp.take(jnp.concatenate([out, z], 0), lvl0.cellslot, axis=0)
+    feats = fb_to_vox(lvl0, out, out.shape[1] // 8)
     if normalize_feature:
         feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
     return feats, new_state

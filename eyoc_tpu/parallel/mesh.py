@@ -38,9 +38,22 @@ def maybe_distributed_init(config) -> None:
 
 
 def dp_device_count(config) -> int:
-    """Resolve --dp_devices (-1 = all local devices)."""
+    """Resolve --dp_devices.
+
+    Explicit n > 0: use exactly n (callers validate divisibility and fail
+    fast). Auto (-1): use as many local devices as the batch size divides
+    into evenly — a batch of 2 on an 8-device host silently runs dp=2
+    rather than erroring (the reference's single-process analog always
+    "fits"; auto mode must too)."""
     n = int(config.get("dp_devices", -1))
-    return len(jax.devices()) if n <= 0 else min(n, len(jax.devices()))
+    avail = len(jax.devices())
+    if n > 0:
+        return min(n, avail)
+    bs = int(config.get("batch_size", 1) or 1)
+    d = min(avail, bs)
+    while d > 1 and bs % d != 0:
+        d -= 1
+    return max(d, 1)
 
 
 def make_mesh(num_devices: int = -1) -> Mesh:

@@ -86,24 +86,61 @@ def _slice_chunks(arr: jnp.ndarray, idxs, C: int) -> jnp.ndarray:
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def halo(fb: jnp.ndarray, nbr6: jnp.ndarray, C: int, width: int = 1) -> jnp.ndarray:
-    """fb [NBtot, 8C]; nbr6 [NBtot, 6] (sentinel NBtot). Returns the flat
-    halo [NBtot, 64C] (width 1) or [NBtot, 216C] (width 2), cell order =
-    halo_order(width)[0]."""
-    _, plans = halo_order(width)
-    cur = fb
+def _take_pad0(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather with one zero pad row (sentinel NBtot -> zeros)."""
+    z = jnp.zeros((1, src.shape[1]), src.dtype)
+    return jnp.take(jnp.concatenate([src, z], 0), idx, axis=0)
+
+
+def halo_parts(fb: jnp.ndarray, nbr6: jnp.ndarray, C: int, width: int = 1):
+    """Transitive halo as UNCONCATENATED parts.
+
+    Returns a list of (cells, array) pairs — 7 parts for width=1
+    (self, x-lo/hi, y-lo/hi, z-lo/hi) whose cell lists partition the full
+    halo cell set. The conv never materializes the [NB, 64C] halo:
+    sum(part @ W_rows(part.cells)) == halo @ W_big, which removes the
+    largest HBM materializations of the conv (measured: the halo
+    concats dominated the forward's copy/dynamic-update-slice time).
+
+    Each axis extension reads the face cells of ALL current parts (that is
+    what makes diagonal contributions transitive, see module docstring).
+    """
+    parts = [(list(CELLS), fb)]
     for axis in range(3):
-        lo_idx, hi_idx = plans[axis]
-        lo_src = _slice_chunks(cur, lo_idx, C)
-        hi_src = _slice_chunks(cur, hi_idx, C)
-        lo = jnp.take(
-            jnp.concatenate([lo_src, jnp.zeros((1, lo_src.shape[1]), cur.dtype)], 0),
-            nbr6[:, 2 * axis], axis=0)
-        hi = jnp.take(
-            jnp.concatenate([hi_src, jnp.zeros((1, hi_src.shape[1]), cur.dtype)], 0),
-            nbr6[:, 2 * axis + 1], axis=0)
-        cur = jnp.concatenate([lo, cur, hi], axis=1)
-    return cur
+        lo_cells, lo_srcs, hi_cells, hi_srcs = [], [], [], []
+        for cells, arr in parts:
+            li = [i for i, c in enumerate(cells) if c[axis] >= 2 - width]
+            hi_i = [i for i, c in enumerate(cells) if c[axis] <= width - 1]
+            if li:
+                lo_srcs.append(_slice_chunks(arr, li, C))
+                lo_cells += [
+                    tuple(v - 2 if a == axis else v for a, v in enumerate(c))
+                    for c in (cells[i] for i in li)]
+            if hi_i:
+                hi_srcs.append(_slice_chunks(arr, hi_i, C))
+                hi_cells += [
+                    tuple(v + 2 if a == axis else v for a, v in enumerate(c))
+                    for c in (cells[i] for i in hi_i)]
+        lo_src = (lo_srcs[0] if len(lo_srcs) == 1
+                  else jnp.concatenate(lo_srcs, axis=1))
+        hi_src = (hi_srcs[0] if len(hi_srcs) == 1
+                  else jnp.concatenate(hi_srcs, axis=1))
+        parts.append((lo_cells, _take_pad0(lo_src, nbr6[2 * axis])))
+        parts.append((hi_cells, _take_pad0(hi_src, nbr6[2 * axis + 1])))
+    return parts
+
+
+def halo(fb: jnp.ndarray, nbr6: jnp.ndarray, C: int, width: int = 1) -> jnp.ndarray:
+    """Materialized flat halo [NBtot, 64C] / [NBtot, 216C] in
+    halo_order(width)[0] cell order. Kept for tests/inspection; the convs
+    use halo_parts to avoid the concat."""
+    order, _ = halo_order(width)
+    pos = {c: i for i, c in enumerate(order)}
+    cols = [None] * len(order)
+    for cells, arr in halo_parts(fb, nbr6, C, width):
+        for j, c in enumerate(cells):
+            cols[pos[c]] = arr[:, j * C:(j + 1) * C]
+    return jnp.concatenate(cols, axis=1)
 
 
 # --------------------------------------------------------- weight embedding
@@ -115,16 +152,13 @@ def _off_index(d, k: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _embed_indices(kind: str, k: int = 3):
-    """Numpy index table src[H, 8] in [0, k^3] (k^3 = zero tap)."""
+def _conv_src_for_cells(cells, k: int = 3):
+    """Numpy index table src[len(cells), 8] in [0, k^3] (k^3 = zero tap)."""
     width = (k - 1) // 2
-    cells, _ = halo_order(width)
-    H = len(cells)
     K3 = k ** 3
-    src = np.full((H, 8), K3, np.int32)
+    src = np.full((len(cells), 8), K3, np.int32)
     for h, hc in enumerate(cells):
         for u, uc in enumerate(CELLS):
-            assert kind == "conv"
             # in[o + off] W[off]: off = hc - uc
             d = tuple(hc[a] - uc[a] for a in range(3))
             if all(-width <= v <= width for v in d):
@@ -132,21 +166,39 @@ def _embed_indices(kind: str, k: int = 3):
     return src
 
 
+@functools.lru_cache(maxsize=None)
+def _embed_indices(kind: str, k: int = 3):
+    """Numpy index table src[H, 8] over the full halo cell order."""
+    assert kind == "conv"
+    cells, _ = halo_order((k - 1) // 2)
+    return _conv_src_for_cells(tuple(cells), k)
+
+
+def _embed_from_src(W: jnp.ndarray, src: np.ndarray) -> jnp.ndarray:
+    """W [K3, Ci, Co], src [H, 8] -> [H*Ci, 8*Co] weight block."""
+    _, Ci, Co = W.shape
+    srcj = jnp.asarray(src)
+    Wz = jnp.concatenate([W, jnp.zeros((1, Ci, Co), W.dtype)], 0)
+    big = jnp.take(Wz, srcj.reshape(-1), axis=0).reshape(src.shape[0], 8, Ci, Co)
+    return jnp.transpose(big, (0, 2, 1, 3)).reshape(src.shape[0] * Ci, 8 * Co)
+
+
 def embed_w_conv(W: jnp.ndarray, k: int = 3) -> jnp.ndarray:
     """W [k^3, Ci, Co] -> W_big [H*Ci, 8*Co] for the flat halo matmul."""
     K3, Ci, Co = W.shape
     assert K3 == k ** 3
-    src = jnp.asarray(_embed_indices("conv", k))                # [H, 8]
-    Wz = jnp.concatenate([W, jnp.zeros((1, Ci, Co), W.dtype)], 0)
-    big = jnp.take(Wz, src.reshape(-1), axis=0).reshape(src.shape[0], 8, Ci, Co)
-    return jnp.transpose(big, (0, 2, 1, 3)).reshape(src.shape[0] * Ci, 8 * Co)
+    return _embed_from_src(W, _embed_indices("conv", k))
+
+
+def embed_w_conv_cells(W: jnp.ndarray, cells, k: int = 3) -> jnp.ndarray:
+    """Weight rows for one halo part: [len(cells)*Ci, 8*Co]."""
+    return _embed_from_src(W, _conv_src_for_cells(tuple(cells), k))
 
 
 @functools.lru_cache(maxsize=None)
-def _embed_indices_down():
+def _down_src_for_cells(cells):
     """Down conv (k=3, s=2): one output at the brick base; taps at halo
-    cells d+ (0,0,0), d in [-1,1]^3 i.e. halo cells in [-1,1]^3."""
-    cells, _ = halo_order(1)
+    cells in [-1,1]^3."""
     src = np.full((len(cells),), 27, np.int32)
     for h, hc in enumerate(cells):
         if all(-1 <= v <= 1 for v in hc):
@@ -156,11 +208,17 @@ def _embed_indices_down():
 
 def embed_w_down(W: jnp.ndarray) -> jnp.ndarray:
     """W [27, Ci, Co] -> [64*Ci, Co]."""
+    cells, _ = halo_order(1)
+    return embed_w_down_cells(W, tuple(cells))
+
+
+def embed_w_down_cells(W: jnp.ndarray, cells) -> jnp.ndarray:
+    """Weight rows for one halo part: [len(cells)*Ci, Co]."""
     _, Ci, Co = W.shape
-    src = jnp.asarray(_embed_indices_down())
+    src = jnp.asarray(_down_src_for_cells(tuple(cells)))
     Wz = jnp.concatenate([W, jnp.zeros((1, Ci, Co), W.dtype)], 0)
-    big = jnp.take(Wz, src, axis=0)                              # [64, Ci, Co]
-    return big.reshape(64 * Ci, Co)
+    big = jnp.take(Wz, src, axis=0)                  # [len(cells), Ci, Co]
+    return big.reshape(len(cells) * Ci, Co)
 
 
 @functools.lru_cache(maxsize=None)
@@ -203,58 +261,105 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
                        preferred_element_type=jnp.float32)
 
 
-def conv_same(cells: jnp.ndarray, level: BrickLevel, W: jnp.ndarray,
+# All hot-path activations live in brick-major "fb" layout [NBtot, 8C]
+# (row = brick, columns = cell-major channel blocks). 8C is a multiple of
+# 128 lanes for every network width >= 16, so fb arrays tile perfectly;
+# the voxel layout [NBtot*8, C] with C=32 lanes would waste 4x on TPU
+# (8,128) tiles and force a relayout copy at every conv boundary
+# (measured: ~8 ms of copies/converts per forward before this design).
+
+
+def occ_mask(level: BrickLevel, Co: int, dtype=None) -> jnp.ndarray:
+    """Cell-occupancy multiplier in fb layout: [NBtot, 8*Co]."""
+    NBtot = level.bkeys.shape[0]
+    occ8 = level.occ.reshape(NBtot, 8).astype(dtype or DTYPE)
+    return jnp.repeat(occ8, Co, axis=1)
+
+
+def vox_to_fb(level: BrickLevel, feats: jnp.ndarray) -> jnp.ndarray:
+    """Voxel-layout features [M, C] -> fb [NBtot, 8C] (pad cells zero)."""
+    C = feats.shape[-1]
+    NBtot = level.bkeys.shape[0]
+    flat = jnp.zeros((NBtot * 8, C), feats.dtype)
+    flat = flat.at[level.cellslot].set(feats, mode="drop")
+    return flat.reshape(NBtot, 8 * C)
+
+
+def fb_to_vox(level: BrickLevel, fb: jnp.ndarray, C: int) -> jnp.ndarray:
+    """fb [NBtot, 8C] -> voxel-layout [M, C] via cellslot."""
+    flat = fb.reshape(-1, C)
+    z = jnp.zeros((1, C), fb.dtype)
+    return jnp.take(jnp.concatenate([flat, z], 0), level.cellslot, axis=0)
+
+
+def conv_same(fb: jnp.ndarray, level: BrickLevel, W: jnp.ndarray,
               k: int = 3) -> jnp.ndarray:
-    """Stride-1 conv at one level. cells [NBtot*8, C] -> [NBtot*8, Co]."""
+    """Stride-1 conv at one level. fb [NBtot, 8Ci] -> [NBtot, 8Co] DTYPE.
+
+    Output is cast straight to the compute dtype (bf16 in production): the
+    f32 matmul result lives only inside the fused epilogue, halving the
+    activation HBM traffic; BN re-accumulates in f32 from the bf16 store."""
     K3, Ci, Co = W.shape
-    NBtot = level.bkeys.shape[0]
-    fb = cells.reshape(NBtot, 8 * Ci)
-    H = halo(fb, level.nbr6, Ci, width=(k - 1) // 2)
-    Wb = embed_w_conv(W, k)
-    out = _mm(H, Wb).reshape(NBtot * 8, Co)
-    return out * level.occ[:, None]
+    parts = halo_parts(fb, level.nbr6, Ci, width=(k - 1) // 2)
+    out = None
+    for cells, arr in parts:
+        t = _mm(arr, embed_w_conv_cells(W, tuple(cells), k))
+        out = t if out is None else out + t
+    return (out * occ_mask(level, Co, jnp.float32)).astype(DTYPE)
 
 
-def conv_down(cells: jnp.ndarray, level: BrickLevel, next_level: BrickLevel,
+def conv_down(fb: jnp.ndarray, level: BrickLevel, next_level: BrickLevel,
               W: jnp.ndarray) -> jnp.ndarray:
-    """Stride-2 conv level l -> l+1. Returns level-(l+1) cells
-    [NBtot_{l+1}*8, Co]."""
+    """Stride-2 conv level l -> l+1. fb [NBtot_l, 8Ci] ->
+    [NBtot_{l+1}, 8Co] f32."""
     _, Ci, Co = W.shape
-    NBtot = level.bkeys.shape[0]
-    fb = cells.reshape(NBtot, 8 * Ci)
-    H = halo(fb, level.nbr6, Ci, width=1)
-    out_vox = _mm(H, embed_w_down(W))                    # [NBtot, Co] rows = coarse voxels
-    n_next = next_level.bkeys.shape[0] * 8
-    out = jnp.zeros((n_next, Co), out_vox.dtype)
-    out = out.at[level_cellslot_next(level, next_level)].add(out_vox, mode="drop")
-    return out * next_level.occ[:, None]
+    parts = halo_parts(fb, level.nbr6, Ci, width=1)
+    out_vox = None                          # [NBtot, Co] rows = coarse voxels
+    for cells, arr in parts:
+        t = _mm(arr, embed_w_down_cells(W, tuple(cells)))
+        out_vox = t if out_vox is None else out_vox + t
+    NB_next = next_level.bkeys.shape[0]
+    out = jnp.zeros((NB_next * 8, Co), out_vox.dtype)
+    out = out.at[next_level.cellslot].add(out_vox, mode="drop")
+    return (out.reshape(NB_next, 8 * Co)
+            * occ_mask(next_level, Co, jnp.float32)).astype(DTYPE)
 
 
-def level_cellslot_next(level: BrickLevel, next_level: BrickLevel) -> jnp.ndarray:
-    """Level-l brick rows ARE level-(l+1) voxel rows; their cell slots are
-    next_level.cellslot (same length)."""
-    return next_level.cellslot
-
-
-def conv_up(coarse_cells: jnp.ndarray, fine_level: BrickLevel,
+def conv_up(coarse_fb: jnp.ndarray, fine_level: BrickLevel,
             W: jnp.ndarray) -> jnp.ndarray:
-    """Transposed stride-2 conv level l+1 -> l. coarse_cells
-    [NBtot_{l+1}*8, Ci] -> fine cells [NBtot_l*8, Co]."""
+    """Transposed stride-2 conv level l+1 -> l. coarse_fb
+    [NBtot_{l+1}, 8Ci] -> fine fb [NBtot_l, 8Co] f32."""
     _, Ci, Co = W.shape
     NBtot = fine_level.bkeys.shape[0]
-    z = jnp.zeros((1, Ci), coarse_cells.dtype)
-    padded = jnp.concatenate([coarse_cells, z], 0)
+    flat = coarse_fb.reshape(-1, Ci)
+    z = jnp.zeros((1, Ci), coarse_fb.dtype)
+    padded = jnp.concatenate([flat, z], 0)
     w = jnp.take(padded, fine_level.up_slots.reshape(-1), axis=0)
     w = w.reshape(NBtot, 8 * Ci)
-    out = _mm(w, embed_w_up(W)).reshape(NBtot * 8, Co)
-    return out * fine_level.occ[:, None]
+    return (_mm(w, embed_w_up(W))
+            * occ_mask(fine_level, Co, jnp.float32)).astype(DTYPE)
 
 
-def conv1x1(cells: jnp.ndarray, W: jnp.ndarray, bias: jnp.ndarray | None = None,
-            occ: jnp.ndarray | None = None) -> jnp.ndarray:
-    out = _mm(cells, W)
+def conv1x1(fb: jnp.ndarray, W: jnp.ndarray, bias: jnp.ndarray | None = None,
+            level: BrickLevel | None = None) -> jnp.ndarray:
+    """Per-voxel linear map in fb layout: block-diagonal matmul
+    [NB, 8Ci] @ kron(I8, W). 8x the exact FLOPs, but zero relayout copies —
+    cheaper than reshaping to [NB*8, Ci] at these sizes."""
+    Ci, Co = W.shape
+    Wbd = jnp.kron(jnp.eye(8, dtype=W.dtype), W)
+    out = _mm(fb, Wbd)
     if bias is not None:
-        out = out + bias
-    if occ is not None:
-        out = out * occ[:, None]
-    return out
+        out = out + jnp.tile(bias, 8)
+    if level is not None:
+        out = out * occ_mask(level, Co, jnp.float32)
+    return out.astype(DTYPE)
+
+
+def fb_concat(a: jnp.ndarray, Ca: int, b: jnp.ndarray, Cb: int) -> jnp.ndarray:
+    """Per-cell channel concat of two fb arrays -> [NB, 8*(Ca+Cb)]
+    (decoder ME.cat skip joins, reference model/resunet.py:168-182)."""
+    parts = []
+    for u in range(8):
+        parts.append(a[:, u * Ca:(u + 1) * Ca])
+        parts.append(b[:, u * Cb:(u + 1) * Cb])
+    return jnp.concatenate(parts, axis=1)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from eyoc_tpu.sparse import morton
+from eyoc_tpu.sparse import morton, scan
 from eyoc_tpu.sparse.types import VoxelizedCloud
 
 
@@ -46,13 +46,21 @@ def voxelize(
         [valid_s[:1], valid_s[1:] & (key_s[1:] != key_s[:-1])]
     )
 
-    pos = jnp.cumsum(first.astype(jnp.int32)) - 1  # target slot per unique voxel
+    pos = scan.cumsum(first.astype(jnp.int32)) - 1  # target slot per unique voxel
     count = jnp.minimum(jnp.sum(first.astype(jnp.int32)), capacity)
     slot = jnp.where(first & (pos < capacity), pos, capacity)  # OOB -> dropped
 
-    src = jnp.take(coords, idx_s, axis=0)
-    src_xyz = jnp.take(xyz, idx_s, axis=0)
-    out_coords = jnp.zeros((capacity, 3), jnp.int32).at[slot].set(src, mode="drop")
-    out_xyz = jnp.zeros((capacity, 3), jnp.float32).at[slot].set(src_xyz, mode="drop")
+    # Scatter only scalars ([P]-row s32 scatters); the voxel coords are
+    # DECODED from the compacted keys (pure bit ops) and the representative
+    # xyz is gathered with `capacity` rows instead of P — the [P, 3]
+    # gather/scatter pairs of the naive formulation dominated this op.
+    out_key = jnp.full((capacity,), morton.INVALID_KEY, jnp.int32
+                       ).at[slot].set(key_s, mode="drop")
+    out_src = jnp.full((capacity,), P, jnp.int32).at[slot].set(idx_s, mode="drop")
     out_mask = jnp.arange(capacity) < count
+    sh = jnp.asarray(morton.shift(bits), jnp.int32)
+    out_coords = jnp.where(out_mask[:, None],
+                           morton.decode(out_key) - sh, 0)
+    xyz_pad = jnp.concatenate([xyz, jnp.zeros((1, 3), xyz.dtype)], 0)
+    out_xyz = jnp.take(xyz_pad, out_src, axis=0)
     return VoxelizedCloud(out_coords, out_xyz, out_mask, count)

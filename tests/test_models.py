@@ -198,8 +198,8 @@ class TestForward:
         # expected skip with the public primitives
         lvl0 = pyr.levels[0]
         occ = lvl0.occ
-        cells0 = occ[:, None].astype(jnp.float32)
-        pre = conv_same(cells0, lvl0, zeroed["conv1"], k=5)
+        fb0 = occ.reshape(lvl0.bkeys.shape[0], 8).astype(jnp.float32)
+        pre = conv_same(fb0, lvl0, zeroed["conv1"], k=5).reshape(-1, n_skip)
         skip_pre, _ = masked_batch_norm(
             pre[None], occ[None], jnp.ones(n_skip), jnp.zeros(n_skip),
             init_bn_state(n_skip), momentum=0.05, training=True)

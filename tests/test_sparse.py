@@ -226,7 +226,7 @@ class TestBricks:
         coords = np.asarray(morton.decode(lvl.bkeys, 1))
         lut = {tuple(coords[i]): i for i in range(NB) if bmask[i]}
         offs = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
-        nbr = np.asarray(lvl.nbr6)
+        nbr = np.asarray(lvl.nbr6).T
         for i in range(NB):
             if not bmask[i]:
                 continue
@@ -249,7 +249,7 @@ class TestBricks:
         # no brick of segment 0 may neighbor a brick of segment 1
         NB = lvl.bkeys.shape[0]
         bseg = np.asarray(lvl.bseg)
-        nbr = np.asarray(lvl.nbr6)
+        nbr = np.asarray(lvl.nbr6).T
         bmask = np.asarray(lvl.bmask)
         for i in range(NB):
             if not bmask[i]:
@@ -281,16 +281,14 @@ def dense_conv_oracle(coords, feats, W, k=3):
 
 
 def vox_feats_to_cells(pyr, level, feats_vox):
-    lvl = pyr.levels[level]
-    n_cells = lvl.bkeys.shape[0] * 8
-    cells = jnp.zeros((n_cells, feats_vox.shape[-1]), jnp.float32)
-    return cells.at[lvl.cellslot].set(jnp.asarray(feats_vox), mode="drop")
+    from eyoc_tpu.sparse.brick_conv import vox_to_fb
+    return vox_to_fb(pyr.levels[level],
+                     jnp.asarray(feats_vox, dtype=jnp.float32))
 
 
-def cells_to_vox(pyr, level, cells):
-    lvl = pyr.levels[level]
-    z = jnp.zeros((1, cells.shape[-1]), cells.dtype)
-    return jnp.take(jnp.concatenate([cells, z], 0), lvl.cellslot, axis=0)
+def cells_to_vox(pyr, level, fb):
+    from eyoc_tpu.sparse.brick_conv import fb_to_vox
+    return fb_to_vox(pyr.levels[level], fb, fb.shape[1] // 8)
 
 
 class TestConvOracles:

@@ -61,12 +61,14 @@ class TestBaseStep:
         step = builder.make_base_train_step("identity")
         batch = make_batch(cfg, dist=1.0)
         losses = []
-        for i in range(6):
+        for i in range(10):
             state, metrics = step(state, batch, 0.1)
             losses.append(float(metrics["loss"]))
             assert np.isfinite(losses[-1])
         assert int(metrics["num_pos_found"]) > 100
-        assert losses[-1] < losses[0]
+        # trend, not single-step delta: bf16 activations make individual
+        # steps noisy at this tiny scale
+        assert np.mean(losses[-3:]) < losses[0]
 
     def test_gt_label_mode(self, setup):
         cfg, spec, state = setup
