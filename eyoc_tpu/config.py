@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--dataset", type=str, default="KittiNFramePairDataset")
     g.add_argument("--voxel_size", type=float, default=0.3)
     g.add_argument("--kitti_root", type=str, default="/data/kitti")
+    g.add_argument("--threed_match_dir", type=str,
+                   default="/data/threedmatch",
+                   help="3DMatch npz fragment root (reference config.py:127)")
     g.add_argument("--kitti_max_time_diff", type=int, default=3)
     g.add_argument("--kitti_date", type=str, default="2011_09_26")
     g.add_argument("--pair_min_dist", type=int, default=-1)

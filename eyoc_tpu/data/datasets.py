@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from eyoc_tpu.data.augment import augment_pair
+from eyoc_tpu.data.augment import apply_transform, augment_pair, sample_random_trans
 from eyoc_tpu.data.io import ConvertedStore, KittiOdometryStore
 
 _ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
@@ -459,10 +459,222 @@ class SyntheticPairDataset(PairDatasetBase):
         }
 
 
+# -------------------------------------------------- legacy KITTI (FCGF-era)
+
+
+# hardcoded velodyne->camera calibration of the legacy dataset (reference
+# lib/data_loaders.py:365-379 — note it deliberately ignores calib.txt)
+_VELO2CAM = None
+
+
+def _velo2cam() -> np.ndarray:
+    global _VELO2CAM
+    if _VELO2CAM is None:
+        R = np.array([
+            7.533745e-03, -9.999714e-01, -6.166020e-04, 1.480249e-02,
+            7.280733e-04, -9.998902e-01, 9.998621e-01, 7.523790e-03,
+            1.480755e-02]).reshape(3, 3)
+        T = np.array([-4.069766e-03, -7.631618e-02, -2.717806e-01]).reshape(3, 1)
+        _VELO2CAM = np.vstack((np.hstack([R, T]), [0, 0, 0, 1])).T
+    return _VELO2CAM
+
+
+class KITTIPairDataset(PairDatasetBase):
+    """Legacy FCGF KITTI pairs: every (t, t+dt) with dt in [2,
+    kitti_max_time_diff), GT = velo2cam-conjugated odometry refined by ICP
+    and cached as .npy under <kitti_root>/icp (reference
+    lib/data_loaders.py:306-582). The Open3D ICP becomes the device
+    fixed-iteration point-to-point ICP (registration/icp.py)."""
+
+    DATA_FILES = {
+        "train": "train_kitti.txt",
+        "val": "val_kitti.txt",
+        "test": "test_kitti.txt",
+    }
+    TEST_RANDOM_ROTATION = False
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        super().__init__(phase, config, random_rotation, random_scale)
+        self.root = config.kitti_root + "/dataset"
+        self.store = KittiOdometryStore(self.root)
+        self.icp_path = os.path.join(config.kitti_root, "icp")
+        os.makedirs(self.icp_path, exist_ok=True)
+        self._icp_cache: dict = {}
+        if phase == "test":
+            self.random_rotation = self.TEST_RANDOM_ROTATION
+        max_time_diff = int(config.get("kitti_max_time_diff", 3))
+        with open(_split_file(self.DATA_FILES[phase])) as f:
+            subset_names = f.read().split()
+        for dirname in subset_names:
+            drive_id = int(dirname)
+            inames = set(self.store.scan_ids(drive_id))
+            for start_time in sorted(inames):
+                for time_diff in range(2, max_time_diff):
+                    pair_time = time_diff + start_time
+                    if pair_time in inames:
+                        self.files.append((drive_id, start_time, pair_time))
+
+    def _icp_gt(self, drive, t0, t1, xyz0, xyz1) -> np.ndarray:
+        from eyoc_tpu.registration.icp import icp_refine_numpy
+
+        key = "%d_%d_%d" % (drive, t0, t1)
+        if key in self._icp_cache:
+            return self._icp_cache[key]
+        filename = os.path.join(self.icp_path, key + ".npy")
+        if os.path.exists(filename):
+            M2 = np.load(filename)
+        else:
+            cam = self.store.raw_cam_poses(drive)
+            p0, p1 = cam[t0], cam[t1]
+            v2c = _velo2cam()
+            # reference lib/data_loaders.py:494-496 (note the .T composition)
+            M = (v2c @ p0.T @ np.linalg.inv(p1.T) @ np.linalg.inv(v2c)).T
+            M2 = icp_refine_numpy(xyz0, xyz1, M)
+            np.save(filename, M2)
+        self._icp_cache[key] = M2
+        return M2
+
+    def __getitem__(self, idx):
+        drive, t0, t1 = self.files[idx]
+        xyz0 = self.store.xyz(drive, t0)
+        xyz1 = self.store.xyz(drive, t1)
+        M2 = self._icp_gt(drive, t0, t1, xyz0, xyz1)
+
+        search = self.matching_search_voxel_size
+        if self.random_rotation:
+            T0 = sample_random_trans(xyz0, self.randg, np.pi / 4)
+            T1 = sample_random_trans(xyz1, self.randg, np.pi / 4)
+            trans = T1 @ M2 @ np.linalg.inv(T0)
+            xyz0 = apply_transform(xyz0, T0)
+            xyz1 = apply_transform(xyz1, T1)
+        else:
+            trans = M2
+        if self.random_scale and self.randg.rand() < 0.95:
+            scale = self.min_scale + (self.max_scale - self.min_scale) * self.randg.rand()
+            search = search * scale
+            xyz0 = scale * xyz0
+            xyz1 = scale * xyz1
+            # NOTE: the reference does NOT rescale trans[:3,3] here (unlike
+            # the NFrame datasets, lib/data_loaders.py:529-534 vs :927-933)
+            # — mirrored for parity.
+        return {
+            "xyz0": xyz0.astype(np.float32),
+            "xyz1": xyz1.astype(np.float32),
+            "T_gt": trans.astype(np.float32),
+            "frame_distance": int(t1) - int(t0),
+            "search_radius": float(search),
+            "meta": (drive, int(t0), int(t1)),
+        }
+
+
+class KITTINMPairDataset(KITTIPairDataset):
+    """Legacy metric-distance variant: first scan >= MIN_DIST meters ahead
+    (reference lib/data_loaders.py:585-621 semantics folded into the legacy
+    pair loop)."""
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        PairDatasetBase.__init__(self, phase, config, random_rotation, random_scale)
+        self.root = config.kitti_root + "/dataset"
+        self.store = KittiOdometryStore(self.root)
+        self.icp_path = os.path.join(config.kitti_root, "icp")
+        os.makedirs(self.icp_path, exist_ok=True)
+        self._icp_cache = {}
+        if phase == "test":
+            self.random_rotation = self.TEST_RANDOM_ROTATION
+        min_dist = max(1.0, float(config.pair_min_dist))
+        with open(_split_file(self.DATA_FILES[phase])) as f:
+            subset_names = f.read().split()
+        for dirname in subset_names:
+            drive_id = int(dirname)
+            inames = sorted(self.store.scan_ids(drive_id))
+            poses = self.store.poses(drive_id)
+            Ts = poses[:, :3, 3]
+            curr = 0
+            while curr < len(inames) - 1:
+                nxt = curr + 1
+                while nxt < len(inames) and np.linalg.norm(
+                        Ts[inames[nxt]] - Ts[inames[curr]]) < min_dist:
+                    nxt += 1
+                if nxt >= len(inames):
+                    break
+                self.files.append((drive_id, inames[curr], inames[nxt]))
+                curr = nxt
+
+
+# ---------------------------------------------------------- indoor datasets
+
+
+class IndoorPairDataset(PairDatasetBase):
+    """3DMatch-style npz fragment pairs (reference
+    lib/data_loaders.py:194-303): pair lists come from per-scene
+    `<scene>*%.2f.txt` overlap files under `threed_match_dir`; clouds from
+    npz["pcd"]. Scale is applied BEFORE the random rotation and the GT is
+    trans = T1 @ inv(T0) (fragments share a world frame)."""
+
+    OVERLAP_RATIO: float = 0.3
+    DATA_FILES = {
+        "train": "train_3dmatch.txt",
+        "val": "val_3dmatch.txt",
+        "test": "test_3dmatch.txt",
+    }
+
+    def __init__(self, phase, config, random_rotation=True, random_scale=True):
+        super().__init__(phase, config, random_rotation, random_scale)
+        import glob as _glob
+
+        self.root = config.threed_match_dir
+        with open(_split_file(self.DATA_FILES[phase])) as f:
+            subset_names = f.read().split()
+        for name in subset_names:
+            fname = name + "*%.2f.txt" % self.OVERLAP_RATIO
+            fnames_txt = _glob.glob(self.root + "/" + fname)
+            assert len(fnames_txt) > 0, \
+                f"Make sure that the path {self.root} has data {fname}"
+            for fname_txt in fnames_txt:
+                with open(fname_txt) as f:
+                    content = f.readlines()
+                for line in content:
+                    parts = line.strip().split()
+                    self.files.append((parts[0], parts[1]))
+
+    def __getitem__(self, idx):
+        file0 = os.path.join(self.root, self.files[idx][0])
+        file1 = os.path.join(self.root, self.files[idx][1])
+        xyz0 = np.load(file0)["pcd"].astype(np.float32)
+        xyz1 = np.load(file1)["pcd"].astype(np.float32)
+        search = self.matching_search_voxel_size
+        if self.random_scale and self.randg.rand() < 0.95:
+            scale = self.min_scale + (self.max_scale - self.min_scale) * self.randg.rand()
+            search = search * scale
+            xyz0 = scale * xyz0
+            xyz1 = scale * xyz1
+        if self.random_rotation:
+            T0 = sample_random_trans(xyz0, self.randg, self.rotation_range)
+            T1 = sample_random_trans(xyz1, self.randg, self.rotation_range)
+            trans = T1 @ np.linalg.inv(T0)
+            xyz0 = apply_transform(xyz0, T0)
+            xyz1 = apply_transform(xyz1, T1)
+        else:
+            trans = np.identity(4)
+        return {
+            "xyz0": xyz0.astype(np.float32),
+            "xyz1": xyz1.astype(np.float32),
+            "T_gt": trans.astype(np.float32),
+            "frame_distance": 1,
+            "search_radius": float(search),
+            "meta": (0, idx, idx),
+        }
+
+
+class ThreeDMatchPairDataset(IndoorPairDataset):
+    OVERLAP_RATIO = 0.3
+
+
 ALL_DATASETS = [
     KittiNFramePairDataset, NuscenesNFramePairDataset, WaymoNFramePairDataset,
     KittiRandDistPairDataset, NuscenesRandDistPairDataset, WaymoRandDistPairDataset,
     KittiContinuousFramePairDataset, NuscenesContinuousFramePairDataset,
-    WaymoContinuousFramePairDataset, SyntheticPairDataset,
+    WaymoContinuousFramePairDataset, KITTIPairDataset, KITTINMPairDataset,
+    ThreeDMatchPairDataset, SyntheticPairDataset,
 ]
 dataset_str_mapping = {d.__name__: d for d in ALL_DATASETS}

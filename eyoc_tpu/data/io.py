@@ -74,6 +74,26 @@ class KittiOdometryStore:
         pts = np.fromfile(fname, dtype=np.float32).reshape(-1, self.point_floats)
         return pts[:, :3]
 
+    def raw_cam_poses(self, drive) -> np.ndarray:
+        """Camera-frame poses WITHOUT Tr conjugation — the legacy
+        KITTIPairDataset composes its own hardcoded velo2cam instead
+        (reference lib/data_loaders.py:365-379, 494-496)."""
+        key = ("raw", int(drive))
+        if key not in self._pose_cache:
+            seq = self.root + "/sequences/%02d" % int(drive)
+            poses = []
+            with open(seq + "/poses.txt") as f:
+                for line in f:
+                    v = [float(x) for x in line.strip().split()]
+                    p = np.zeros((4, 4))
+                    p[0, :4] = v[0:4]
+                    p[1, :4] = v[4:8]
+                    p[2, :4] = v[8:12]
+                    p[3, 3] = 1.0
+                    poses.append(p)
+            self._pose_cache[key] = np.asarray(poses)
+        return self._pose_cache[key]
+
 
 class ConvertedStore:
     """Converted nuScenes/WOD KITTI-format tree: sequences/<name>/{velodyne, poses.npy}."""
