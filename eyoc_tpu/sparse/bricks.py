@@ -134,24 +134,33 @@ def build_level(
                                       bits)
     grid = grid.at[jnp.where(bmask, self_flat, gsize + 1)].set(
         jnp.arange(NBtot, dtype=jnp.int32), mode="drop")
-    # ONE batched gather resolves all 14 lookups (6 face neighbors + the
-    # 8-octant up-conv window): separate gathers each pay the full
-    # fixed gather-op cost (~0.3 ms apiece at this size, measured).
-    offs = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1),
-            (0, 0, 1)] + [(dx, dy, dz)
-                          for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
-    dx = jnp.asarray([o[0] for o in offs], jnp.int32)[:, None]
-    dy = jnp.asarray([o[1] for o in offs], jnp.int32)[:, None]
-    dz = jnp.asarray([o[2] for o in offs], jnp.int32)[:, None]
+    # ONE batched gather resolves every distinct neighbor lookup. The
+    # 6-face set and the 8-octant up-conv window share (1,0,0)/(0,1,0)/
+    # (0,0,1), and the octant (0,0,0) is the row itself — 10 gathered
+    # offsets instead of 14 (scalar grid gathers are the dominant
+    # preprocess cost at ~16 ns/element, see PERF_NOTES).
+    face_offs = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1),
+                 (0, 0, 1)]
+    oct_offs = [(dx, dy, dz)
+                for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    lookup = [o for o in face_offs] + [o for o in oct_offs
+                                       if o != (0, 0, 0) and o not in face_offs]
+    pos = {o: i for i, o in enumerate(lookup)}
+    dx = jnp.asarray([o[0] for o in lookup], jnp.int32)[:, None]
+    dy = jnp.asarray([o[1] for o in lookup], jnp.int32)[:, None]
+    dz = jnp.asarray([o[2] for o in lookup], jnp.int32)[:, None]
     flat = morton.flat_from_axes(
         bx[None, :] + dx, by[None, :] + dy, bz[None, :] + dz,
         level + 1, bmask[None, :], bseg[None, :], B, bits)
-    vals = jnp.take(grid, flat.reshape(-1)).reshape(14, NBtot)
+    vals = jnp.take(grid, flat.reshape(-1)).reshape(len(lookup), NBtot)
     nbr6 = vals[:6]                               # [6, NBtot]
+    self_rows = jnp.where(bmask, jnp.arange(NBtot, dtype=jnp.int32), NBtot)
     # up8: brick rows at B + delta (positive octant), for the up conv into
     # this level; delta=0 is self. Converted to level-(l+1) cell slots by the
     # caller once the next level's cellslot exists.
-    up8 = vals[6:].T                              # [NBtot, 8]
+    up8 = jnp.stack(
+        [self_rows if o == (0, 0, 0) else vals[pos[o]] for o in oct_offs],
+        axis=1)                                   # [NBtot, 8]
 
     lvl = BrickLevel(bkeys=bkeys, bmask=bmask, bseg=bseg, occ=occ,
                      nbr6=nbr6, cellslot=cellslot, up_slots=None)

@@ -69,8 +69,15 @@ def preprocess_clouds(
     cap = caps[0]
     pmask = jnp.arange(P)[None, :] < counts[:, None]
 
-    vox = jax.vmap(
-        lambda x, m: voxelize(x, m, voxel_size, cap, window_bits))(xyz, pmask)
+    if B == 1:
+        # unbatched: the sort runs on a 1-D array (T(1024) layout, 8
+        # sublanes) instead of vmap's [1, P] T(1,128) single-sublane rows —
+        # ~25% faster (measured)
+        v1 = voxelize(xyz[0], pmask[0], voxel_size, cap, window_bits)
+        vox = jax.tree_util.tree_map(lambda x: x[None], v1)
+    else:
+        vox = jax.vmap(
+            lambda x, m: voxelize(x, m, voxel_size, cap, window_bits))(xyz, pmask)
 
     keys = morton.encode(vox.coords, vox.mask, window_bits).reshape(B * cap)
     mask = vox.mask.reshape(B * cap)

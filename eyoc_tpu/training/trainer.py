@@ -261,8 +261,13 @@ class AlignmentTrainer:
     def _valid_epoch(self):
         """reference lib/trainer.py:1736-1826: batch-1 pairs, robust pose,
         feat_match_ratio = mean(hit_ratio > 0.05)."""
+        # the dp fan-out path needs exactly one pair per device; validation
+        # loaders commonly yield batch-1 pairs (reference protocol,
+        # lib/trainer.py:1747), so only shard when the batch divides
+        val_bs = getattr(self.val_data_loader, "batch_size", 1)
+        use_mesh = self.mesh is not None and val_bs == self.dp
         if self._valid_step is None:
-            if self.mesh is not None:
+            if use_mesh:
                 self._valid_step = make_dp_valid_step(self.builder, self.mesh)
             else:
                 self._valid_step = self.builder.make_valid_step()
@@ -270,13 +275,13 @@ class AlignmentTrainer:
         meters = {k: AverageMeter() for k in ("loss", "rte", "rre", "hit_ratio")}
         fmr = AverageMeter()
         key = jax.random.PRNGKey(0)
-        dp = self.dp if self.mesh is not None else 1
+        dp = self.dp if use_mesh else 1
         max_iter = min(self.config.val_max_iter, len(self.val_data_loader))
         it = iter(self.val_data_loader)
         for i in range(max_iter):
             batch = next(it)
             key, sub = jax.random.split(key)
-            if self.mesh is not None:
+            if use_mesh:
                 # one pair per device (eval fan-out, SURVEY.md §2.10)
                 batch = shard_batch(self.mesh, batch)
                 keys = jax.random.split(sub, dp)
