@@ -33,7 +33,7 @@ import numpy as np
 N_PAIRS = 16
 RAW = 131072
 CAPS = (32768, 20480, 8192, 2048)
-CAPABILITY_BUDGET_S = 240.0
+CAPABILITY_BUDGET_S = 180.0
 
 
 def _capability(t_deadline):

@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--rte_thresh", default=2.0, type=float)
     p.add_argument("--num_pairs", default=-1, type=int,
                    help="limit evaluated pairs (debug)")
+    p.add_argument("--trace_dir", default="", type=str,
+                   help="dump a jax.profiler trace of the eval loop here "
+                        "(SURVEY §5: profiler hooks; parse with parse_trace.py)")
     p.add_argument("--nn_dist_stats", default=False, type=str2bool,
                    help="collect the matched-correspondence NN-distance "
                         "distribution under the GT pose (reference "
@@ -135,6 +138,10 @@ def main(config, num_pairs=-1, dp=1):
     key = jax.random.PRNGKey(0)
     N = len(loader) if num_pairs < 0 else min(num_pairs, len(loader))
 
+    trace_dir = config.get("trace_dir") or ""
+    if trace_dir:
+        import jax.profiler
+        jax.profiler.start_trace(trace_dir)
     it = iter(loader)
     for i in range(N):
         data_timer.tic()
@@ -194,6 +201,9 @@ def main(config, num_pairs=-1, dp=1):
                 f"Success: {success_meter.sum} / {success_meter.count} "
                 f"({success_meter.avg * 100:.4f} %)")
 
+    if trace_dir:
+        jax.profiler.stop_trace()
+        logging.info(f"profiler trace written to {trace_dir}")
     if nn_dists:
         alld = np.concatenate(nn_dists)
         np.save(os.path.join(config.save_dir, "nn_dists.npy"), alld)

@@ -50,6 +50,20 @@ def masked_knn(
 
     def tile_fn(q):
         d2 = pdist2(q, ref) + rmask_f[None, :]
+        # XLA lowers top_k to a FULL variadic sort of the [tile, Nr] row on
+        # TPU (measured: 2.2 s for 16 tiles of [2048, 32768] — the entire
+        # GT-matching budget); k=1/2 are cheap reduction passes instead.
+        if k == 1:
+            idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            return jnp.min(d2, axis=1)[:, None], idx[:, None]
+        if k == 2:
+            i1 = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            d1 = jnp.min(d2, axis=1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            d2m = jnp.where(cols == i1[:, None], _BIG, d2)
+            i2 = jnp.argmin(d2m, axis=1).astype(jnp.int32)
+            dd2 = jnp.min(d2m, axis=1)
+            return (jnp.stack([d1, dd2], 1), jnp.stack([i1, i2], 1))
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 
