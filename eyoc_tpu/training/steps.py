@@ -80,6 +80,18 @@ def init_train_state(params, bn_state, key, optimizer: str = "SGD") -> TrainStat
     )
 
 
+def _random_subset(noise: jnp.ndarray, n: int):
+    """Indices of a uniform random n-subset given i.i.d. uniform `noise`
+    (invalid rows pre-set to > 1). `top_k` lowers to a full row sort on
+    TPU; `approx_max_k` over i.i.d. noise selects a subset with exactly
+    the same distribution at a fraction of the cost."""
+    if n >= noise.shape[-1]:
+        _, sel = jax.lax.top_k(-noise, n)
+        return sel
+    _, sel = jax.lax.approx_max_k(-noise, n, recall_target=0.95)
+    return sel
+
+
 @dataclasses.dataclass(frozen=True)
 class StepConfig:
     """Static configuration compiled into the step programs."""
@@ -375,7 +387,7 @@ class StepBuilder:
         # (corr_through_registration, lib/trainer.py:1153-1224)
         noise = jax.random.uniform(key, (x0.shape[0],))
         noise = jnp.where(m0, noise, 2.0)
-        _, sel = jax.lax.top_k(-noise, c.rediscovery_samples)
+        sel = _random_subset(noise, c.rediscovery_samples)
         sel = sel.astype(jnp.int32)
         sel_ok = jnp.take(m0, sel)
         warped = transform_points(jnp.take(x0, sel, axis=0), T_est)
@@ -442,12 +454,12 @@ class StepBuilder:
 
             k0, k1 = jax.random.split(key)
             noise0 = jnp.where(m0, jax.random.uniform(k0, m0.shape), 2.0)
-            _, sel0 = jax.lax.top_k(-noise0, c.eval_sample_points)
+            sel0 = _random_subset(noise0, c.eval_sample_points)
             sel_ok = jnp.take(m0, sel0)
             # the reference subsamples BOTH clouds to 5000 before the NN
             # (find_corr, lib/trainer.py:405-419)
             noise1 = jnp.where(m1, jax.random.uniform(k1, m1.shape), 2.0)
-            _, sel1 = jax.lax.top_k(-noise1, c.eval_sample_points)
+            sel1 = _random_subset(noise1, c.eval_sample_points)
             sel1_ok = jnp.take(m1, sel1)
             _, nn = masked_argmin(jnp.take(f0, sel0, axis=0), sel_ok,
                                   jnp.take(f1, sel1, axis=0), sel1_ok,
@@ -493,7 +505,7 @@ class StepBuilder:
 
             def sample(xk, fk, mk, kk):
                 noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
-                _, sel = jax.lax.top_k(-noise, n_pts)
+                sel = _random_subset(noise, n_pts)
                 ok = jnp.take(mk, sel)
                 return jnp.take(xk, sel, axis=0), jnp.take(fk, sel, axis=0), ok
 
@@ -529,7 +541,7 @@ class StepBuilder:
 
             def sample(xk, fk, mk, kk):
                 noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
-                _, sel = jax.lax.top_k(-noise, n_pts)
+                sel = _random_subset(noise, n_pts)
                 ok = jnp.take(mk, sel)
                 return jnp.take(xk, sel, axis=0), jnp.take(fk, sel, axis=0), ok
 
