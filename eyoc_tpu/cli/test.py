@@ -87,6 +87,8 @@ def load_test_config(args) -> Config:
         config.pair_max_dist = args.pair_max_dist
     config.rte_thresh = args.rte_thresh
     config.rre_thresh = args.rre_thresh
+    config.nn_dist_stats = args.nn_dist_stats
+    config.trace_dir = args.trace_dir
     return config
 
 
@@ -140,8 +142,8 @@ def main(config, num_pairs=-1, dp=1):
 
     trace_dir = config.get("trace_dir") or ""
     if trace_dir:
-        import jax.profiler
-        jax.profiler.start_trace(trace_dir)
+        from jax import profiler as _profiler
+        _profiler.start_trace(trace_dir)
     it = iter(loader)
     for i in range(N):
         data_timer.tic()
@@ -202,7 +204,8 @@ def main(config, num_pairs=-1, dp=1):
                 f"({success_meter.avg * 100:.4f} %)")
 
     if trace_dir:
-        jax.profiler.stop_trace()
+        from jax import profiler as _profiler
+        _profiler.stop_trace()
         logging.info(f"profiler trace written to {trace_dir}")
     if nn_dists:
         alld = np.concatenate(nn_dists)
