@@ -65,6 +65,163 @@ class NpzPairLoader:
                 data["gt_trans"].astype(np.float32))
 
 
+THREEDMATCH_SCENES = [
+    "7-scenes-redkitchen",
+    "sun3d-home_at-home_at_scan1_2013_jan_1",
+    "sun3d-home_md-home_md_scan9_2012_sep_30",
+    "sun3d-hotel_uc-scan3",
+    "sun3d-hotel_umd-maryland_hotel1",
+    "sun3d-hotel_umd-maryland_hotel3",
+    "sun3d-mit_76_studyroom-76-1studyroom2",
+    "sun3d-mit_lab_hj-lab_hj_tea_nov_2_2012_scan1_erika",
+]
+
+
+class ThreeDMatchSceneLoader:
+    """Per-scene gt.log-driven fragment pairs (reference ThreeDLoader,
+    scripts/SC2_PCR/dataset.py:8-103): pairs come from
+    `{root}/gt_result/{scene}-evaluation/gt.log`, fragments from
+    `{root}/fragments/{scene}/cloud_bin_{id}_{descriptor}.npz`
+    (fields xyz, feature); the stored transform is target->source and is
+    inverted on load (dataset.py:78)."""
+
+    def __init__(self, root: str, scene: str, descriptor: str = "fcgf"):
+        from eyoc_tpu.benchmarks.gtlog import read_gt_log
+
+        assert descriptor in ("fcgf", "fpfh")
+        self.root, self.scene, self.descriptor = root, scene, descriptor
+        pairs, traj = read_gt_log(
+            os.path.join(root, "gt_result", f"{scene}-evaluation", "gt.log"))
+        self.pairs, self.traj = pairs, traj
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _fragment(self, fid: int):
+        data = np.load(os.path.join(
+            self.root, "fragments", self.scene,
+            f"cloud_bin_{fid}_{self.descriptor}.npz"))
+        xyz = data["xyz"].astype(np.float32)
+        f = data["feature"].astype(np.float32)
+        if self.descriptor == "fpfh":
+            f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-6)
+        return xyz, f
+
+    def get_data(self, i: int):
+        src_id, tgt_id = int(self.pairs[i, 0]), int(self.pairs[i, 1])
+        x0, f0 = self._fragment(src_id)
+        x1, f1 = self._fragment(tgt_id)
+        gt = np.linalg.inv(self.traj[i]).astype(np.float32)
+        return x0, x1, f0, f1, gt
+
+
+class ThreeDLoMatchPklLoader:
+    """3DLoMatch pairs from the predator-style pickle index (reference
+    ThreeDLoMatchLoader, dataset.py:105-191): `3DLoMatch.pkl` holds
+    rot/trans/src/tgt; fcgf/fpfh descriptors load from the 3DMatch
+    fragment tree; descriptor='predator' loads per-pair .pth dumps
+    (requires torch)."""
+
+    def __init__(self, root: str, pkl_path: str, descriptor: str = "fcgf",
+                 num_node: int = 5000):
+        import pickle
+
+        assert descriptor in ("fcgf", "fpfh", "predator")
+        self.root, self.descriptor, self.num_node = root, descriptor, num_node
+        with open(pkl_path, "rb") as f:
+            self.infos = pickle.load(f)
+
+    def __len__(self):
+        return len(self.infos["rot"])
+
+    def get_data(self, i: int):
+        rot = np.asarray(self.infos["rot"][i], np.float32)
+        t = np.asarray(self.infos["trans"][i], np.float32).reshape(3)
+        gt = np.eye(4, dtype=np.float32)
+        gt[:3, :3], gt[:3, 3] = rot, t
+        if self.descriptor == "predator":
+            import torch  # optional dependency, predator dumps only
+
+            d = torch.load(os.path.join(self.root, f"{i}.pth"),
+                           map_location="cpu", weights_only=False)
+            n_src = int(d["len_src"])
+            pcd = d["pcd"].numpy().astype(np.float32)
+            feats = d["feats"].numpy().astype(np.float32)
+            sal = d["saliency"].numpy().ravel()
+            ovl = d["overlaps"].numpy().ravel()
+
+            def pick(x, f, score):
+                if len(x) <= self.num_node:
+                    return x, f
+                p = score / score.sum()
+                idx = np.random.choice(len(x), self.num_node,
+                                       replace=False, p=p)
+                return x[idx], f[idx]
+
+            x0, f0 = pick(pcd[:n_src], feats[:n_src], sal[:n_src] * ovl[:n_src])
+            x1, f1 = pick(pcd[n_src:], feats[n_src:], sal[n_src:] * ovl[n_src:])
+            return x0, x1, f0, f1, gt
+        scene = self.infos["src"][i].split("/")[1]
+        sid = self.infos["src"][i].split("/")[-1].split("_")[-1].replace(".pth", "")
+        tid = self.infos["tgt"][i].split("/")[-1].split("_")[-1].replace(".pth", "")
+
+        def frag(fid):
+            d = np.load(os.path.join(
+                self.root, "fragments", scene,
+                f"cloud_bin_{fid}_{self.descriptor}.npz"))
+            f = d["feature"].astype(np.float32)
+            if self.descriptor == "fpfh":
+                f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-6)
+            return d["xyz"].astype(np.float32), f
+
+        x0, f0 = frag(sid)
+        x1, f1 = frag(tid)
+        return x0, x1, f0, f1, gt
+
+
+def eval_3dmatch(root: str, dataset: str = "3DMatch",
+                 descriptor: str = "fcgf", scenes=None, num_pairs: int = -1,
+                 gt_benchmark_folder: str | None = None):
+    """Scene-grouped 3DMatch evaluation (reference test_3DMatch.py:82-160):
+    per-scene stats, RE/TE averaged over the successful pairs of each
+    scene, Mean Reg Recall = mean over SCENES of per-scene RR; plus the
+    pair-level aggregate. If `gt_benchmark_folder` (gt.log + gt.info per
+    scene, reference benchmarks/3DLoMatch fixture layout) is given, also
+    runs the Redwood trajectory benchmark on the estimated poses."""
+    scenes = scenes or THREEDMATCH_SCENES
+    per_scene = []
+    all_poses = []
+    pair_rr_num = pair_n = 0
+    for scene in scenes:
+        loader = ThreeDMatchSceneLoader(root, scene, descriptor)
+        res = eval_descriptor_pairs(loader, dataset, num_pairs,
+                                    collect_poses=all_poses)
+        per_scene.append(dict(scene=scene, **res))
+        pair_rr_num += res["rr"] * res["n"] / 100.0
+        pair_n += res["n"]
+        logging.info(
+            f"Scene {scene}: RR {res['rr']:.2f}% RE {res['re_deg']:.2f} "
+            f"TE {res['te_cm']:.2f} ({res['n']} pairs)")
+    out = dict(
+        scenes=per_scene,
+        rr=float(np.mean([s["rr"] for s in per_scene])),   # scene-averaged
+        pair_rr=100.0 * pair_rr_num / max(pair_n, 1),
+        re_deg=float(np.nanmean([s["re_deg"] for s in per_scene])),
+        te_cm=float(np.nanmean([s["te_cm"] for s in per_scene])),
+        n=pair_n,
+    )
+    logging.info(
+        f"All {len(per_scene)} scenes: Mean Reg Recall {out['rr']:.2f}% "
+        f"(pair-level {out['pair_rr']:.2f}%), RE {out['re_deg']:.2f} deg, "
+        f"TE {out['te_cm']:.2f} cm")
+    if gt_benchmark_folder:
+        from eyoc_tpu.benchmarks.gtlog import benchmark_trajectories
+
+        out["trajectory"] = benchmark_trajectories(
+            np.asarray(all_poses), gt_benchmark_folder, log=logging.info)
+    return out
+
+
 def transformation_metrics(trans, gt_trans, src_corr, tgt_corr,
                            pred_labels, re_thre=15.0, te_thre=30.0):
     """reference evaluate_metric.py:12-64 (TransformationLoss), numpy.
@@ -93,7 +250,8 @@ def classification_metrics(pred_labels, gt_labels):
 
 
 def eval_descriptor_pairs(loader, dataset: str = "KITTI",
-                          num_pairs: int = -1, log_every: int = 50):
+                          num_pairs: int = -1, log_every: int = 50,
+                          collect_poses: list | None = None):
     """Run the full per-pair protocol (reference test_KITTI.py:18-102)."""
     import jax
     import jax.numpy as jnp
@@ -128,6 +286,8 @@ def eval_descriptor_pairs(loader, dataset: str = "KITTI",
             jnp.asarray(pad(x1, cap, 3)), jnp.asarray(pad(f1, cap, f1.shape[1])),
             jnp.asarray(m1), cfg)
         trans = np.asarray(trans)
+        if collect_poses is not None:
+            collect_poses.append(trans)
         n0 = len(x0)
         labels = np.asarray(labels)[:n0]
         nn = np.asarray(nn)[:n0]
@@ -171,13 +331,39 @@ def main(argv=None):
     p.add_argument("--root", required=True)
     p.add_argument("--dataset", default="KITTI",
                    choices=sorted(PRESETS))
-    p.add_argument("--descriptor", default="fcgf", choices=["fcgf", "fpfh"])
+    p.add_argument("--descriptor", default="fcgf",
+                   choices=["fcgf", "fpfh", "predator"])
     p.add_argument("--num_pairs", default=-1, type=int)
+    p.add_argument("--scene_protocol", action="store_true",
+                   help="3DMatch per-scene gt.log protocol "
+                        "(reference test_3DMatch.py) instead of a flat "
+                        "npz pair directory")
+    p.add_argument("--lomatch_pkl", default="",
+                   help="3DLoMatch.pkl index (reference test_3DLoMatch.py)")
+    p.add_argument("--gt_benchmark_folder", default="",
+                   help="per-scene gt.log+gt.info tree for the Redwood "
+                        "trajectory benchmark (reference benchmark_predator)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(asctime)s %(message)s")
-    loader = NpzPairLoader(args.root, args.descriptor)
-    res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs)
+    if args.scene_protocol:
+        return eval_3dmatch(args.root, args.dataset, args.descriptor,
+                            num_pairs=args.num_pairs,
+                            gt_benchmark_folder=args.gt_benchmark_folder or None)
+    if args.lomatch_pkl:
+        loader = ThreeDLoMatchPklLoader(args.root, args.lomatch_pkl,
+                                        args.descriptor)
+        poses: list = []
+        res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs,
+                                    collect_poses=poses)
+        if args.gt_benchmark_folder:
+            from eyoc_tpu.benchmarks.gtlog import benchmark_trajectories
+
+            res["trajectory"] = benchmark_trajectories(
+                np.asarray(poses), args.gt_benchmark_folder, log=logging.info)
+    else:
+        loader = NpzPairLoader(args.root, args.descriptor)
+        res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs)
     logging.info(
         f"RR {res['rr']:.2f}%  RE {res['re_deg']:.3f} deg  "
         f"TE {res['te_cm']:.2f} cm  model {res['model_time']*1e3:.1f} ms/pair "

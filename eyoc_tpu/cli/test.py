@@ -93,9 +93,20 @@ def load_test_config(args) -> Config:
 
 
 def main(config, num_pairs=-1, dp=1):
-    from eyoc_tpu.parallel.mesh import make_dp_test_step, make_mesh, shard_batch
+    from eyoc_tpu.parallel.mesh import make_mesh, shard_batch
     from eyoc_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+
+    if float(config.get("downsample_single", 1.0)) != 1.0:
+        # parity flag: the reference parses --downsample_single
+        # (scripts/test_kitti.py:251,289) but never consumes it anywhere —
+        # test-time subsampling is the hardcoded 5000-pt random_sample
+        # (scripts/test_kitti.py:155-160). Mirrored as parsed-but-inert;
+        # warn instead of silently ignoring.
+        logging.warning(
+            "--downsample_single is accepted for flag parity but has no "
+            "effect (dead in the reference too); the test protocol always "
+            "random-samples %d points", config.eval_sample_points)
 
     dp = max(1, min(dp, len(jax.devices())))
     loader = make_data_loader(config, config.test_phase, dp, shuffle=False)
@@ -110,10 +121,16 @@ def main(config, num_pairs=-1, dp=1):
     else:
         logging.warning(f"no checkpoint at {best}; evaluating random init")
 
+    from eyoc_tpu.parallel.mesh import make_dp_embed_step, make_dp_register_step
+
     builder = StepBuilder(build_step_config(config, spec))
     if dp > 1:
         mesh = make_mesh(dp)
-        dp_step = make_dp_test_step(builder, mesh, use_ransac=config.use_RANSAC)
+        # embed / register stay separate programs so the Feat/Reg timer
+        # split (reference scripts/test_kitti.py:108-151) is honest under dp
+        embed = make_dp_embed_step(builder, mesh)
+        register = make_dp_register_step(builder, mesh,
+                                         use_ransac=config.use_RANSAC)
         logging.info(f"eval sharded over {dp} devices")
     else:
         embed = builder.make_embed_step()
@@ -153,12 +170,14 @@ def main(config, num_pairs=-1, dp=1):
         if dp > 1:
             feat_timer.tic()
             batch = shard_batch(mesh, batch)
+            embedded = embed(params, bn_state, batch)
+            jax.block_until_ready(embedded)
+            feat_timer.toc()
+
+            reg_timer.tic()
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, dp)
-            out = dp_step(params, bn_state, batch, keys)
-            T_all = np.asarray(out["T_est"])
-            feat_timer.toc()
-            reg_timer.tic()
+            T_all = np.asarray(register(*embedded, keys))
             reg_timer.toc()
             results = []
             for d in range(dp):

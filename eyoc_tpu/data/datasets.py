@@ -67,7 +67,22 @@ class PairDatasetBase:
             return "gt"
         return "none"
 
-    def __getitem__(self, idx):
+    def _has_overlap(self, xyz0, xyz1, trans, radius, cap=8192):
+        """Cheap host-side zero-overlap check: any warped cloud0 point
+        within `radius` of cloud1 (subsampled cKDTree). Proxy for the
+        reference's 'len(matches) == 0' test after full GT matching
+        (lib/data_loaders.py:958-961)."""
+        from scipy.spatial import cKDTree
+
+        a = xyz0 if len(xyz0) <= cap else xyz0[
+            self.randg.choice(len(xyz0), cap, replace=False)]
+        b = xyz1 if len(xyz1) <= cap else xyz1[
+            self.randg.choice(len(xyz1), cap, replace=False)]
+        w = a @ trans[:3, :3].T + trans[:3, 3]
+        d, _ = cKDTree(b).query(w, k=1, distance_upper_bound=radius * 1.001)
+        return bool(np.isfinite(d).any())
+
+    def __getitem__(self, idx, _depth=0):
         drive, t0, t1 = self.files[idx]
         store = self._store()
         poses = store.poses(drive)
@@ -84,6 +99,17 @@ class PairDatasetBase:
             max_scale=self.max_scale,
             search_voxel_size=self.matching_search_voxel_size,
         )
+        # zero-overlap resample (reference lib/data_loaders.py:958-961):
+        # re-draw a random other index when the pair shares no GT
+        # correspondences. Only meaningful when labels will actually be
+        # computed (base/supervised modes); extension mode uses dummy labels
+        # in the reference and never triggers the check. Depth-capped so a
+        # degenerate dataset cannot recurse forever.
+        if (self.label_mode() != "none" and _depth < 3
+                and not self._has_overlap(xyz0, xyz1, trans, search)):
+            self.resample_count = getattr(self, "resample_count", 0) + 1
+            return self.__getitem__(
+                int(self.randg.randint(len(self.files))), _depth + 1)
         return {
             "xyz0": xyz0,
             "xyz1": xyz1,

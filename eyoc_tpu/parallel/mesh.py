@@ -63,9 +63,14 @@ def make_mesh(num_devices: int = -1) -> Mesh:
     return Mesh(devices, ("dp",))
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a RawBatch with its leading B axis sharded over dp."""
-    sharding = NamedSharding(mesh, P("dp"))
+def shard_batch(mesh: Mesh, batch, accum_axis: bool = False):
+    """Place a RawBatch with its B axis sharded over dp.
+
+    accum_axis=True: leaves carry a leading [iter_size] gradient-accumulation
+    axis (training/steps.py:_wrap_accumulating) that stays replicated; the
+    batch axis behind it is the sharded one."""
+    spec = P(None, "dp") if accum_axis else P("dp")
+    sharding = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
 
@@ -86,7 +91,9 @@ def make_dp_train_step(builder, mesh: Mesh, kind: str = "base",
         raise ValueError(kind)
 
     state_spec = P()     # replicated
-    batch_spec = P("dp")  # shard leading batch axis
+    # shard the batch axis; with iter_size accumulation the leading axis is
+    # [iter_size] (replicated) and the batch axis sits behind it
+    batch_spec = (P(None, "dp") if builder.cfg.iter_size > 1 else P("dp"))
 
     def _step(state, batch, lr):
         return inner(state, batch, lr)
@@ -115,6 +122,42 @@ def make_dp_test_step(builder, mesh: Mesh, use_ransac: bool = False):
     sharded = jax.shard_map(
         _step, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_embed_step(builder, mesh: Mesh):
+    """Sharded feature-extraction half of the test protocol (one pair per
+    device). Split from registration so the reference's Feat/Reg timer
+    surface (scripts/test_kitti.py:108-151) stays meaningful under dp."""
+    inner = builder.make_embed_step()
+
+    def _step(params, bn_state, batch):
+        out = inner(params, bn_state, batch)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_register_step(builder, mesh: Mesh, use_ransac: bool = False):
+    """Sharded registration half: [D, ...] embedded pairs -> T_est [D,4,4]."""
+    inner = builder.make_register_step(use_ransac=use_ransac)
+
+    def _step(x0, f0, m0, x1, f1, m1, keys):
+        T = inner(x0[0], f0[0], m0[0], x1[0], f1[0], m1[0], keys[0])
+        return T[None]
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P("dp"),) * 7,
         out_specs=P("dp"),
         check_vma=False,
     )

@@ -63,23 +63,38 @@ def icp_refine_numpy(xyz0, xyz1, init, *, voxel_size: float = 0.05,
     run device ICP from `init`, return the refined [4,4] numpy transform."""
     import numpy as np
 
-    def down(x):
+    def uniq(x):
         c = np.floor(x / voxel_size).astype(np.int64)
         # first-occurrence unique, like ME.utils.sparse_quantize
         _, sel = np.unique(c, axis=0, return_index=True)
         pts = x[np.sort(sel)]
         if len(pts) > cap:
             pts = pts[np.random.RandomState(0).permutation(len(pts))[:cap]]
-        out = np.zeros((cap, 3), np.float32)
+        return pts
+
+    s_pts = uniq(np.asarray(xyz0, np.float32))
+    t_pts = uniq(np.asarray(xyz1, np.float32))
+    # size buffers to the cloud (next power of two, so compile variants are
+    # bounded): a fixed 32k cap made tiny clouds pay the full 32k x 32k
+    # distance sweep x `iterations` — hours on a small host for a
+    # 500-point cloud
+    buf = 256
+    while buf < max(len(s_pts), len(t_pts)):
+        buf *= 2
+    buf = min(buf, cap)
+
+    def pad(pts):
+        out = np.zeros((buf, 3), np.float32)
         out[: len(pts)] = pts
-        mask = np.zeros(cap, bool)
+        mask = np.zeros(buf, bool)
         mask[: len(pts)] = True
         return out, mask
 
-    s, sm = down(np.asarray(xyz0, np.float32))
-    t, tm = down(np.asarray(xyz1, np.float32))
+    s, sm = pad(s_pts)
+    t, tm = pad(t_pts)
     T, _, _ = icp_point_to_point(
         jnp.asarray(s), jnp.asarray(sm), jnp.asarray(t), jnp.asarray(tm),
         jnp.asarray(np.asarray(init, np.float32)),
-        max_corr_dist=max_corr_dist, iterations=iterations)
+        max_corr_dist=max_corr_dist, iterations=iterations,
+        knn_tile=min(2048, buf))
     return np.asarray(T, np.float64)

@@ -229,15 +229,26 @@ class AlignmentTrainer:
     def _run_epoch(self, step, epoch, lr, extra_meters=()):
         data_timer, total_timer = Timer(), Timer()
         meters = {k: AverageMeter() for k in ("loss", "pos_loss", "neg_loss", *extra_meters)}
-        start_iter = (epoch - 1) * len(self.data_loader)
+        # Caffe-style gradient accumulation: each optimizer step consumes
+        # iter_size loader batches (reference lib/trainer.py:239-293 pulls
+        # iter_size batches per iteration), stacked on a leading axis for
+        # the lax.scan inside the jitted step.
+        isz = max(1, int(self.config.iter_size))
+        n_steps = len(self.data_loader) // isz
+        start_iter = (epoch - 1) * n_steps
         it = iter(self.data_loader)
-        for curr_iter in range(len(self.data_loader)):
+        for curr_iter in range(n_steps):
             total_timer.tic()
             data_timer.tic()
-            batch = next(it)
+            if isz == 1:
+                batch = next(it)
+            else:
+                micro = [next(it) for _ in range(isz)]
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *micro)
             data_timer.toc()
             if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_batch(self.mesh, batch, accum_axis=isz > 1)
             self.state, metrics = step(self.state, batch, lr)
             for k, m in meters.items():
                 if k in metrics:
@@ -247,7 +258,7 @@ class AlignmentTrainer:
                 for k in ("loss", "pos_loss", "neg_loss"):
                     self.writer.add_scalar(f"train/{k}", meters[k].val, start_iter + curr_iter)
                 msg = (
-                    f"Train Epoch: {epoch} [{curr_iter}/{len(self.data_loader)}], "
+                    f"Train Epoch: {epoch} [{curr_iter}/{n_steps}], "
                     f"Loss: {meters['loss'].val:.3e} Pos: {meters['pos_loss'].val:.3f} "
                     f"Neg: {meters['neg_loss'].val:.3f}"
                     f"\tData: {data_timer.avg:.4f} Iter: {total_timer.avg:.4f}"

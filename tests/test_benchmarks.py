@@ -68,3 +68,116 @@ class TestHarness:
         assert res["rr"] == 100.0
         assert res["te_cm"] < 60.0 and res["re_deg"] < 5.0
         assert res["precision"] > 0.5
+
+
+def _rand_pose(rng, max_t=1.0):
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = rng.uniform(0.2, 0.8)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    T = np.eye(4)
+    T[:3, :3] = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+    T[:3, 3] = rng.uniform(-max_t, max_t, 3)
+    return T
+
+
+def make_3dmatch_scene(root, scene, n_frag=4, n_pts=300, seed=0):
+    """Synthetic 3DMatch scene tree: world-frame fragment poses, gt.log in
+    the reference format (pairwise target->source transforms), fragment npz
+    files with GT-consistent descriptors."""
+    from eyoc_tpu.benchmarks.gtlog import write_gt_log
+
+    rng = np.random.default_rng(seed)
+    frag_dir = root / "fragments" / scene
+    gt_dir = root / "gt_result" / f"{scene}-evaluation"
+    frag_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    world = rng.uniform(0, 3, (n_pts, 3)).astype(np.float32)
+    W = rng.normal(size=(3, 16)).astype(np.float32)
+    feat = np.tanh(world @ W)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True) + 1e-6
+    poses = [_rand_pose(rng) for _ in range(n_frag)]  # world -> fragment
+    for fid, P in enumerate(poses):
+        xyz = (world @ P[:3, :3].T + P[:3, 3]).astype(np.float32)
+        np.savez(frag_dir / f"cloud_bin_{fid}_fcgf.npz", xyz=xyz,
+                 feature=feat)
+    pairs, traj = [], []
+    for i in range(n_frag):
+        for j in range(i + 1, n_frag):
+            # stored transform is target->source: loader inverts it into
+            # the src->tgt gt (reference dataset.py:78). src i -> tgt j is
+            # P_j @ P_i^-1, so store its inverse.
+            pairs.append((i, j, n_frag))
+            traj.append(np.linalg.inv(poses[j] @ np.linalg.inv(poses[i])))
+    write_gt_log(gt_dir / "gt.log", pairs, traj)
+    return np.asarray(pairs), np.asarray(traj), poses
+
+
+class TestGtLog:
+    def test_log_roundtrip(self, tmp_path):
+        from eyoc_tpu.benchmarks.gtlog import read_gt_log, write_gt_log
+
+        rng = np.random.default_rng(2)
+        pairs = np.asarray([(0, 2, 5), (1, 4, 5)])
+        traj = np.stack([_rand_pose(rng), _rand_pose(rng)])
+        write_gt_log(tmp_path / "gt.log", pairs, traj)
+        p2, t2 = read_gt_log(tmp_path / "gt.log")
+        np.testing.assert_array_equal(pairs, p2)
+        np.testing.assert_allclose(traj, t2, atol=1e-7)
+
+    def test_mat2quat(self):
+        from eyoc_tpu.benchmarks.gtlog import mat2quat
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            T = _rand_pose(rng)
+            q = mat2quat(T[:3, :3])
+            w, x, y, z = q
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            np.testing.assert_allclose(R, T[:3, :3], atol=1e-8)
+            assert w >= 0
+
+    def test_evaluate_registration_redwood(self, tmp_path):
+        """Perfect poses on non-consecutive pairs -> recall 1; a corrupted
+        pose drops exactly one good pair (reference evaluate_registration
+        semantics: consecutive pairs are excluded from scoring)."""
+        from eyoc_tpu.benchmarks.gtlog import evaluate_registration
+
+        rng = np.random.default_rng(4)
+        n_frag = 5
+        pairs = np.asarray([(i, j, n_frag) for i in range(n_frag)
+                            for j in range(i + 1, n_frag)])
+        traj = np.stack([_rand_pose(rng) for _ in pairs])
+        cov = np.stack([np.eye(6) * 300.0 for _ in pairs])
+        prec, rec, flags = evaluate_registration(
+            n_frag, traj.copy(), pairs, pairs, traj, cov)
+        assert rec == 1.0 and prec == 1.0
+        n_noncons = int(sum(j - i > 1 for i, j, _ in pairs))
+        assert sum(f != 2 for f in flags) == n_noncons
+
+        bad = traj.copy()
+        k = int(np.where((pairs[:, 1] - pairs[:, 0]) > 1)[0][0])
+        bad[k] = _rand_pose(rng, max_t=5.0)
+        prec2, rec2, _ = evaluate_registration(
+            n_frag, bad, pairs, pairs, traj, cov)
+        assert rec2 == pytest.approx((n_noncons - 1) / n_noncons)
+
+    def test_scene_protocol_end_to_end(self, tmp_path):
+        """Two synthetic scenes through the full gt.log 3DMatch protocol:
+        scene-averaged RR must be 100% and the gt.log-derived poses must
+        agree with the fragments' relative poses."""
+        from eyoc_tpu.benchmarks.descriptor_eval import eval_3dmatch
+
+        for s, seed in (("sceneA", 0), ("sceneB", 1)):
+            make_3dmatch_scene(tmp_path, s, n_frag=3, seed=seed)
+        res = eval_3dmatch(str(tmp_path), "3DMatch", "fcgf",
+                           scenes=["sceneA", "sceneB"])
+        assert res["n"] == 6
+        assert res["rr"] == 100.0
+        assert res["re_deg"] < 15.0 and res["te_cm"] < 30.0

@@ -80,6 +80,59 @@ class TestSyncBN:
             rtol=1e-4, atol=1e-5)
 
 
+class TestEvalDP:
+    def test_dp4_eval_equals_serial(self):
+        """Sharded embed+register (cli.test dp path) must reproduce the
+        single-device per-pair results bit-for-bit given the same keys
+        (VERDICT: dp eval correctness + honest Feat/Reg attribution)."""
+        from eyoc_tpu.parallel.mesh import (
+            make_dp_embed_step,
+            make_dp_register_step,
+        )
+        from eyoc_tpu.registration.sc2pcr import SC2PCRConfig
+        from eyoc_tpu.training.pipeline import RawBatch
+        from eyoc_tpu.training.steps import StepBuilder, StepConfig
+
+        dp = 4
+        spec = load_model("SimpleNetBNE")
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(0), 1, 8, 3)
+        cfg = StepConfig(
+            spec=spec, caps=(256, 128, 128), voxel_size=0.3,
+            conv1_kernel_size=3, knn_tile=128, eval_sample_points=200,
+            sc2=SC2PCRConfig(max_points=200, seed_cap=40),
+            window_bits=BITS)
+        builder = StepBuilder(cfg)
+
+        rng = np.random.default_rng(3)
+        P_, B = 300, dp
+        xyz0 = rng.uniform(-6, 6, (B, P_, 3)).astype(np.float32)
+        shift = np.asarray([1.0, 0.5, 0.0], np.float32)
+        xyz1 = xyz0 + shift
+        T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        T[:, :3, 3] = shift
+        batch = RawBatch(
+            xyz0=jnp.asarray(xyz0), n0=jnp.full((B,), P_, jnp.int32),
+            xyz1=jnp.asarray(xyz1), n1=jnp.full((B,), P_, jnp.int32),
+            T_gt=jnp.asarray(T), frame_distance=jnp.ones((B,), jnp.int32),
+            search_radius=jnp.full((B,), 0.45, jnp.float32))
+        keys = jax.random.split(jax.random.PRNGKey(7), dp)
+
+        mesh = make_mesh(dp)
+        emb_dp = make_dp_embed_step(builder, mesh)(params, bn_state, batch)
+        T_dp = np.asarray(
+            make_dp_register_step(builder, mesh)(*emb_dp, keys))
+
+        embed1 = builder.make_embed_step()
+        register1 = builder.make_register_step()
+        for d in range(dp):
+            b1 = jax.tree_util.tree_map(lambda x: x[d:d + 1], batch)
+            e1 = embed1(params, bn_state, b1)
+            for a, b in zip(e1, emb_dp):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[d])
+            T1 = np.asarray(register1(*e1, keys[d]))
+            np.testing.assert_array_equal(T1, T_dp[d])
+
+
 class TestTrainerDP:
     def test_trainer_runs_dp_epoch(self, tmp_path):
         from eyoc_tpu.config import Config, build_parser

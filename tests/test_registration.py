@@ -146,6 +146,51 @@ class TestMatchingOps:
         assert m.dtype == bool and m.shape == (500,)
         assert 0 < m.sum() < 500  # filter actually separates
 
+    def test_similarity_filter_matches_reference_oracle(self):
+        """Numpy port of the reference lookup loop
+        (lib/trainer.py:1118-1147) as the expected function; asserts mask
+        equality over random ranges and ALL 6 frame buckets on the shipped
+        kitti_distSimPlot.npz."""
+        import os
+
+        from eyoc_tpu.ops import load_similarity_tables
+        from eyoc_tpu.ops.matching import _ASSET_DIR
+
+        raw = np.load(os.path.join(_ASSET_DIR, "kitti_distSimPlot.npz"),
+                      allow_pickle=True)["res"].tolist()
+        maps = [np.asarray(raw[i], np.float32) for i in range(6)]
+        frame_to_ygrid = {0: 1, 1: 1.5, 2: 2, 3: 2.5, 4: 2.5, 5: 2.5}
+
+        def oracle(xyz0, xyz1, frame_distance, thresh):
+            d0 = np.linalg.norm(xyz0, axis=1)
+            d1 = np.linalg.norm(xyz1, axis=1)
+            d1_tmp = np.abs(d0 - d1)
+            d0 = np.minimum(d0, d1)
+            d1 = d1_tmp
+            fi = min(max(0, frame_distance // 5), 5)
+            xlim, ylim = maps[fi].shape
+            grid = [5.0, frame_to_ygrid[fi]]
+            i0 = (d0 / grid[0]).astype(np.int64)
+            i1 = (d1 / grid[1]).astype(np.int64)
+            i0 = np.clip(i0, 0, ylim - 1)
+            i1 = np.clip(i1, 0, xlim - 1)
+            return maps[fi][i1, i0] > thresh
+
+        tables = load_similarity_tables("kitti")
+        rng = np.random.default_rng(11)
+        for fd in (0, 3, 7, 12, 18, 23, 29, 55):
+            xyz0 = rng.uniform(-80, 80, (800, 3)).astype(np.float32)
+            xyz1 = (xyz0 + rng.normal(0, 8, (800, 3))).astype(np.float32)
+            for thresh in (0.4, 0.6):
+                got = np.asarray(spatial_filter_mask(
+                    jnp.asarray(xyz0), jnp.asarray(xyz1),
+                    spatial_filter="Similarity", similarity=tables,
+                    similarity_thresh=thresh,
+                    frame_distance=jnp.int32(fd)))
+                want = oracle(xyz0, xyz1, fd, thresh)
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"fd={fd} t={thresh}")
+
     def test_compact_matches(self):
         idx0 = jnp.arange(10, dtype=jnp.int32)
         idx1 = jnp.arange(10, 20, dtype=jnp.int32)
