@@ -119,8 +119,8 @@ def main():
                     jnp.take(mk, sel))
         sx0, sf0, sm0 = sample(x0, f0, m0, k0)
         sx1, sf1, sm1 = sample(x1, f1, m1, k1)
-        T, _, _ = sc2_pcr_estimator(sx0, sf0, sm0, sx1, sf1, sm1, sc2cfg,
-                                    knn_tile=2048)
+        T, _, _, _ = sc2_pcr_estimator(sx0, sf0, sm0, sx1, sf1, sm1, sc2cfg,
+                                       knn_tile=2048)
         return T
 
     timeit("full registration (sample+est)", full_est, x0, f0, m0, x1, f1, m1, key)
