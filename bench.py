@@ -107,6 +107,11 @@ def main():
         spec=spec, caps=CAPS, voxel_size=0.3, conv1_kernel_size=5,
         knn_tile=2048, eval_sample_points=5000,
         sc2=SC2PCRConfig(max_points=5000, seed_cap=1000),
+        # the test protocol applies no rotation augmentation (reference
+        # lib/data_loaders.py:1824-1831), so LiDAR z stays within +-19 m;
+        # the z window drives the transient neighbor-grid size (z=9 bits
+        # costs a 268 MB memset per cloud at L0 — train-only)
+        window_bits=(10, 10, 7),
     )
     builder = StepBuilder(step_cfg)
     inner = builder.make_test_step(use_ransac=False)
@@ -115,7 +120,8 @@ def main():
     params, bn_state = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
 
     cfg = _tiny_cfg(raw_point_capacity=RAW, pair_min_dist=40, pair_max_dist=50)
-    batches = [_make_raw_batch(cfg, n_pairs=1, n_points=RAW, dist=45.0)
+    batches = [_make_raw_batch(cfg, n_pairs=1, n_points=RAW, dist=45.0,
+                               phase="test")
                for _ in range(N_PAIRS)]
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.stack(xs)), *batches)

@@ -59,6 +59,14 @@ def parse_args(argv=None):
                         "scripts/test_kitti.py:49-53,153-154 collects this "
                         "but never reports it; here it is summarized and "
                         "saved to <save_dir>/nn_dists.npy)")
+    p.add_argument("--window_bits", default="10,10,7", type=str,
+                   help="spatial window bits per axis for the device "
+                        "voxel engine. The test protocol applies no "
+                        "rotation augmentation (reference "
+                        "lib/data_loaders.py:1824-1831) so z=7 bits "
+                        "(+-19 m) always covers LiDAR returns and keeps "
+                        "the transient neighbor grids small; training "
+                        "configs use z=8/9 to survive +-45 deg rotations")
     p.add_argument("--dp_devices", default=1, type=int,
                    help="shard the pair list over N devices (the TPU-native "
                         "analog of the reference 5-process fan-out, "
@@ -87,6 +95,7 @@ def load_test_config(args) -> Config:
         config.pair_max_dist = args.pair_max_dist
     config.rte_thresh = args.rte_thresh
     config.rre_thresh = args.rre_thresh
+    config.window_bits = args.window_bits
     config.nn_dist_stats = args.nn_dist_stats
     config.trace_dir = args.trace_dir
     return config

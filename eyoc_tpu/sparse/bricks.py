@@ -10,13 +10,22 @@ pyramid (reference model/resunet.py stride structure; ME's
 
 With Morton keys (sparse/morton.py), `key >> 3` is the parent cell at every
 level, so ONE sort (inside voxelize) orders every level simultaneously;
-bricks fall out of first-occurrence flags + prefix sums, and neighbor
-resolution is 6 scalar gathers per brick from a transient dense grid —
-no hash tables, no per-level sorts (lax.sort costs ~4 ms per call on TPU).
+bricks fall out of first-occurrence flags + prefix sums.
+
+Neighbor resolution is a two-pass build: (1) all level skeletons bottom-up
+(first flags + prefix sums, no grids), then (2) per-level transient
+wide-row dense grids [B*GX*GY, GZ] — one z-column per row — resolved with
+6 row gathers + one-hot z-lane extraction per brick (scalar gathers from
+the flat HBM grid cost ~13.5 ns/element; 512 B row gathers ~6 ns/row,
+measured 1.94x faster end-to-end, proto_widegrid.py). Each grid value
+packs (local brick row | parent-local-brick-row << 15) so the transposed
+conv's up_slots fall out of the same lookup with no extra per-cell gather
+pass (the old post-resolution cost ~1.2 ms/cloud at L0).
 
 Batch handling: B clouds are concatenated ("folded") along the row axis in
 per-cloud capacity slices; segments never interact (per-segment first
-flags, per-segment grids), which keeps keys in int32 for any B.
+flags, per-segment grid columns). Local-row packing keeps values in int32
+for any B (global rows would overflow the bit budget at B=8).
 
 Sentinels: voxel rows use morton.INVALID_KEY; brick rows use NBtot (one
 past the end); cell slots use NBtot*8 (dropped by scatters, zero-read by
@@ -42,7 +51,7 @@ class BrickLevel(NamedTuple):
 
     bkeys: jnp.ndarray      # [NBtot] int32 brick Morton keys (level-(l+1) lattice)
     bmask: jnp.ndarray      # [NBtot] bool
-    bseg: jnp.ndarray       # [NBtot] int32 cloud index
+    bseg: jnp.ndarray      # [NBtot] int32 cloud index
     occ: jnp.ndarray        # [NBtot*8] bool cell occupancy (== voxel existence)
     nbr6: jnp.ndarray       # [6, NBtot] int32 brick rows at +-x,+-y,+-z (sentinel
     #   NBtot). Direction-major so the halo's per-direction index vector is a
@@ -70,20 +79,19 @@ def _segment_starts(M: int, B: int) -> jnp.ndarray:
     return (jnp.arange(M, dtype=jnp.int32) % cap) == 0
 
 
-def build_level(
-    keys: jnp.ndarray,       # [M] int32 level-l voxel Morton keys, per-segment sorted
-    mask: jnp.ndarray,       # [M] bool
-    B: int,
-    level: int,
-    brick_cap: int,
-    bits: Tuple[int, int, int] = morton.BITS,
-) -> tuple:
-    """Group level-l voxels into bricks.
+class _Skeleton(NamedTuple):
+    bkeys: jnp.ndarray
+    bmask: jnp.ndarray
+    bseg: jnp.ndarray
+    occ: jnp.ndarray
+    cellslot: jnp.ndarray
+    valid_vox: jnp.ndarray
 
-    Returns (level: BrickLevel with up_slots=None, up8 [NBtot, 8],
-             valid_vox [M]) where valid_vox masks out voxels dropped by
-    brick-capacity overflow.
-    """
+
+def _skeleton(keys: jnp.ndarray, mask: jnp.ndarray, B: int,
+              brick_cap: int) -> _Skeleton:
+    """Group level-l voxels into bricks: first-occurrence flags + prefix
+    sums only (the grid-free half of the old build_level)."""
     M = keys.shape[0]
     cap = M // B
     seg = jnp.arange(M, dtype=jnp.int32) // cap
@@ -120,39 +128,54 @@ def build_level(
     cellslot = jnp.where(valid_vox, brow * 8 + cell, NBtot * 8)
 
     occ = jnp.zeros((NBtot * 8,), bool).at[cellslot].set(valid_vox, mode="drop")
+    return _Skeleton(bkeys, bmask, bseg, occ, cellslot, valid_vox)
 
-    # Neighbor resolution via a transient per-segment WIDE-ROW grid
-    # [B*GX*GY, GZ]: one z-column per row. Scalar gathers from an HBM-sized
-    # flat grid cost ~13.5 ns/element (latency-bound); a 512 B row gather
-    # costs ~6 ns/ROW, so fetching each touched (x, y) column once and
-    # extracting z-lanes with one-hot multiply-reduce (take_along_axis
-    # scalarizes on TPU) resolves all 10 offsets from 6 row gathers —
-    # measured 1.94x faster than the 10-offset scalar-gather formulation
-    # (proto_widegrid.py). All index arithmetic stays on per-axis [NBtot]
-    # vectors — [N, 3] arrays provoke T(1,128) layouts on TPU.
-    #
-    # The 6-face set and the 8-octant up-conv window share
-    # (1,0,0)/(0,1,0)/(0,0,1), and the octant (0,0,0) is the row itself —
-    # 10 resolved offsets, touching 6 (x, y) columns.
+
+# Offsets resolved per brick: the 6 faces + the positive-octant diagonals
+# (the 8-octant up-conv window shares (1,0,0)/(0,1,0)/(0,0,1) with the face
+# set, and (0,0,0) is the row itself).
+FACE_OFFS = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1),
+             (0, 0, 1)]
+OCT_OFFS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+LOOKUP = FACE_OFFS + [o for o in OCT_OFFS
+                      if o != (0, 0, 0) and o not in FACE_OFFS]
+
+_ROW_BITS = 15          # local brick row (brick_cap < 32768)
+_PB_MASK = (1 << 14) - 1
+_SENT = jnp.int32((1 << 30) - 1)
+
+
+def _neighbors(sk: _Skeleton, pb_local: jnp.ndarray | None, B: int,
+               level: int, brick_cap: int, cap_next: int | None,
+               bits) -> tuple:
+    """Resolve nbr6 + up_slots for one level from a transient wide-row grid.
+
+    pb_local: [NBtot] parent-LOCAL brick row of each brick at level+1
+    (None at the deepest level). Packed into the grid values so neighbor
+    lookups return both the brick row and its parent row at once.
+    Returns (nbr6 [6, NBtot], up_slots [NBtot, 8] or None).
+    """
+    bkeys, bmask, bseg = sk.bkeys, sk.bmask, sk.bseg
+    NBtot = bkeys.shape[0]
+    assert brick_cap < (1 << _ROW_BITS), "brick_cap exceeds row-pack budget"
     GX, GY, GZ = morton.grid_dims(level + 1, bits)
     ncols = B * GX * GY
     bx, by, bz = morton.axes_of(bkeys)
+
+    local_row = jnp.arange(NBtot, dtype=jnp.int32) % brick_cap
+    if pb_local is not None:
+        assert cap_next is not None and cap_next <= _PB_MASK
+        packed = local_row | (jnp.minimum(pb_local, _PB_MASK) << _ROW_BITS)
+    else:
+        packed = local_row
+
     # one extra row full of the sentinel so out-of-window column lookups
-    # (row index == ncols) read NBtot everywhere
-    grid = jnp.full((ncols + 1, GZ), NBtot, jnp.int32)
+    # (row index == ncols) read SENT everywhere
+    grid = jnp.full((ncols + 1, GZ), _SENT, jnp.int32)
     row_self = jnp.where(bmask, (bseg * GX + bx) * GY + by, ncols + 1)
-    grid = grid.at[row_self, bz].set(jnp.arange(NBtot, dtype=jnp.int32),
-                                     mode="drop")
+    grid = grid.at[row_self, bz].set(packed, mode="drop")
 
-    face_offs = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1),
-                 (0, 0, 1)]
-    oct_offs = [(dx, dy, dz)
-                for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
-    lookup = [o for o in face_offs] + [o for o in oct_offs
-                                       if o != (0, 0, 0) and o not in face_offs]
-    pos = {o: i for i, o in enumerate(lookup)}
-
-    cols = sorted({(o[0], o[1]) for o in lookup})
+    cols = sorted({(o[0], o[1]) for o in LOOKUP})
     col_rows = {}
     for cx, cy in cols:
         nx2, ny2 = bx + cx, by + cy
@@ -163,26 +186,47 @@ def build_level(
     lanes = jax.lax.broadcasted_iota(jnp.int32, (NBtot, GZ), 1)
 
     def zsel(row, dz):
+        """Packed value at z = bz + dz (one-hot multiply-reduce;
+        take_along_axis scalarizes on TPU). Out-of-window / empty -> SENT."""
         zq = bz + dz
         v = jnp.sum(jnp.where(lanes == zq[:, None], row, 0), axis=1)
         ok = bmask & (zq >= 0) & (zq < GZ)
-        return jnp.where(ok, v, NBtot)
+        return jnp.where(ok, v, _SENT)
 
-    vals = [zsel(col_rows[(o[0], o[1])], o[2]) for o in lookup]
-    nbr6 = jnp.stack(vals[:6])                    # [6, NBtot]
-    self_rows = jnp.where(bmask, jnp.arange(NBtot, dtype=jnp.int32), NBtot)
-    # up8: brick rows at B + delta (positive octant), for the up conv into
-    # this level; delta=0 is self. Converted to level-(l+1) cell slots by the
-    # caller once the next level's cellslot exists.
-    up8 = jnp.stack(
-        [self_rows if o == (0, 0, 0) else vals[pos[o]] for o in oct_offs],
-        axis=1)                                   # [NBtot, 8]
+    pos = {o: i for i, o in enumerate(LOOKUP)}
+    vals = [zsel(col_rows[(o[0], o[1])], o[2]) for o in LOOKUP]
 
-    lvl = BrickLevel(bkeys=bkeys, bmask=bmask, bseg=bseg, occ=occ,
-                     nbr6=nbr6, cellslot=cellslot, up_slots=None)
-    # valid_vox reflects brick-capacity drops: callers must treat voxels
-    # without a cell slot as invalid
-    return lvl, up8, valid_vox
+    def unpack_row(v):
+        return jnp.where(v != _SENT,
+                         bseg * brick_cap + (v & ((1 << _ROW_BITS) - 1)),
+                         NBtot)
+
+    nbr6 = jnp.stack([unpack_row(v) for v in vals[:6]])    # [6, NBtot]
+
+    if pb_local is None:
+        return nbr6, None
+
+    # up_slots: for octant offset d the neighbor's level-(l+1) cell slot is
+    # parent_brick_row * 8 + cell, where cell is derivable from our OWN
+    # coords + d (no gather): cell = 4*((x+dx)&1) + 2*((y+dy)&1) + ((z+dz)&1)
+    NB_next = (NBtot // brick_cap) * cap_next
+    sent_next = NB_next * 8
+
+    def up_slot(o):
+        if o == (0, 0, 0):
+            v, okv = packed, bmask
+        else:
+            v = vals[pos[o]]
+            okv = v != _SENT
+        pb = (v >> _ROW_BITS) & _PB_MASK
+        ok = okv & (pb < cap_next)   # parent-overflow -> no slot
+        cell = (((bx + o[0]) & 1) << 2) | (((by + o[1]) & 1) << 1) \
+            | ((bz + o[2]) & 1)
+        slot = (bseg * cap_next + pb) * 8 + cell
+        return jnp.where(ok, slot, sent_next)
+
+    up_slots = jnp.stack([up_slot(o) for o in OCT_OFFS], axis=1)  # [NBtot, 8]
+    return nbr6, up_slots
 
 
 def build_pyramid(
@@ -193,29 +237,42 @@ def build_pyramid(
     bits: Tuple[int, int, int] = morton.BITS,
 ) -> BrickPyramid:
     """Build all L levels. Level-(l+1) voxel arrays are level-l brick arrays
-    (cap_{l+1} == brick_caps[l])."""
+    (cap_{l+1} == brick_caps[l]).
+
+    Pass 1 builds every level's skeleton bottom-up; pass 2 resolves
+    neighbors per level with the parent rows (known after pass 1) packed
+    into the grid, which makes up_slots a bit-shift of the same lookup.
+    """
     L = len(brick_caps)
-    levels = []
-    up8s = []
-    vox_masks = []
+    skels = []
     keys, mask = keys0, mask0
     for l in range(L):
-        lvl, up8, valid_vox = build_level(keys, mask, B, l, brick_caps[l], bits)
-        levels.append(lvl)
-        up8s.append(up8)
-        vox_masks.append(valid_vox)
-        keys, mask = lvl.bkeys, lvl.bmask
+        sk = _skeleton(keys, mask, B, brick_caps[l])
+        skels.append(sk)
+        keys, mask = sk.bkeys, sk.bmask
 
-    # resolve up_slots: level l's up8 brick rows -> level-(l+1) cell slots
-    resolved = []
+    levels = []
     for l in range(L):
+        sk = skels[l]
         if l + 1 < L:
-            nxt = levels[l + 1]
-            sent_next = nxt.bkeys.shape[0] * 8
-            cs = jnp.concatenate(
-                [nxt.cellslot, jnp.full((1,), sent_next, jnp.int32)])
-            slots = jnp.take(cs, up8s[l].reshape(-1)).reshape(up8s[l].shape)
-            resolved.append(levels[l]._replace(up_slots=slots))
+            # level-l brick row r IS level-(l+1) voxel row r: its parent
+            # brick row is cellslot_{l+1}[r] >> 3 (aligned, no gather)
+            pb_global = skels[l + 1].cellslot >> 3
+            pb_local = pb_global % brick_caps[l + 1]
+            # parent-overflow: cellslot carries its NBtot_{l+1}*8 sentinel
+            # (== len(occ_{l+1})); mark explicitly — the modulo would alias
+            # it onto a valid row for segment > 0
+            pb_local = jnp.where(
+                skels[l + 1].cellslot
+                >= jnp.int32(skels[l + 1].occ.shape[0]),
+                jnp.int32(_PB_MASK), pb_local)
+            nbr6, up_slots = _neighbors(
+                sk, pb_local, B, l, brick_caps[l], brick_caps[l + 1], bits)
         else:
-            resolved.append(levels[l])
-    return BrickPyramid(levels=tuple(resolved), vox_masks=tuple(vox_masks))
+            nbr6, up_slots = _neighbors(
+                sk, None, B, l, brick_caps[l], None, bits)
+        levels.append(BrickLevel(
+            bkeys=sk.bkeys, bmask=sk.bmask, bseg=sk.bseg, occ=sk.occ,
+            nbr6=nbr6, cellslot=sk.cellslot, up_slots=up_slots))
+    return BrickPyramid(levels=tuple(levels),
+                        vox_masks=tuple(sk.valid_vox for sk in skels))
