@@ -184,16 +184,37 @@ def _norm(kind, p, s, fb, level, *, training, momentum, axis_name,
     return y, None
 
 
-def _block(kind, p, s, fb, level, *, training, momentum, axis_name):
+def _bn_fold(p, s, eps: float = 1e-5):
+    """BN affine as (per-channel weight scale g, output bias b):
+    BN(x) = x*g + b with g = scale*rsqrt(var+eps), b = bias - mean*g."""
+    g = p["scale"] * jax.lax.rsqrt(s.var + eps)
+    return g, p["bias"] - s.mean * g
+
+
+def _block(kind, p, s, fb, level, *, training, momentum, axis_name,
+           folded=False):
     """Residual BasicBlock (reference model/residual_block.py:9-77):
-    conv3-norm-relu-conv3-norm + skip, relu. fb [NB, 8C] bf16."""
+    conv3-norm-relu-conv3-norm + skip, relu. fb [NB, 8C] bf16.
+
+    folded=True (eval-only): the BN affines are folded into the conv
+    weights/biases, so each conv runs one fused epilogue instead of a
+    separate [NB, 8C] BN pass."""
     residual = fb
-    out = conv_same(fb, level, p["conv1"])
+    if folded:
+        g1, b1 = _bn_fold(p["norm1"], s["norm1"])
+        g2, b2 = _bn_fold(p["norm2"], s["norm2"])
+        out = conv_same(fb, level, p["conv1"] * g1, bias=b1)
+        out = jax.nn.relu(out)
+        out = conv_same(out, level, p["conv2"] * g2, bias=b2)
+        # both operands are pad-masked, so relu(out + residual) stays zero
+        # at pad cells — no extra mask pass needed
+        return jax.nn.relu(out + residual), None
+    out = conv_same(fb, level, p["conv1"], mask_output=False)
     out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, level,
                     training=training, momentum=momentum, axis_name=axis_name,
                     out_dtype=brick_conv.DTYPE)
     out = jax.nn.relu(out)
-    out = conv_same(out, level, p["conv2"])
+    out = conv_same(out, level, p["conv2"], mask_output=False)
     out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, level,
                     training=training, momentum=momentum, axis_name=axis_name,
                     out_dtype=brick_conv.DTYPE)
@@ -201,6 +222,14 @@ def _block(kind, p, s, fb, level, *, training, momentum, axis_name):
     C = out.shape[1] // 8
     out = out * occ_mask(level, C, out.dtype)
     return out, ({"norm1": s1, "norm2": s2} if s else None)
+
+
+def can_fold_bn(spec: UNetSpec) -> bool:
+    """Eval-time BN folding applies when every norm directly follows a conv
+    and is a BatchNorm: plain-BN specs with repeats == 1 (the Expanded
+    variants interleave a norm after a relu, which is not a conv affine)."""
+    return (spec.norm_type == "BN" and spec.repeats == 1
+            and spec.block_norm_type in (None, "BN"))
 
 
 def apply_unet(
@@ -215,6 +244,7 @@ def apply_unet(
     bn_momentum: float = 0.05,
     axis_name: str | None = None,
     normalize_feature: bool = True,
+    fold_bn: bool = True,
 ):
     """Forward pass over a BrickPyramid (brick engine, sparse/brick_conv.py).
 
@@ -223,11 +253,18 @@ def apply_unet(
     Returns (features [M0, out_channels] f32, new_bn_state). Forward order
     mirrors the reference exactly (model/resunet.py:142-193,
     model/simpleunet.py:96-133), including SimpleNet's pre-relu skips.
+
+    fold_bn: at eval (training=False) on foldable specs (can_fold_bn), BN
+    affines are folded into conv weights/biases so each conv+BN runs as a
+    single fused epilogue — numerically identical up to bf16 rounding,
+    ~30% fewer full-tensor elementwise passes.
     """
     L = spec.num_levels
     levels = pyramid.levels
     assert len(levels) >= L, "pyramid shallower than the model"
     new_state = {}
+    folded = (fold_bn and not training and bn_state is not None
+              and can_fold_bn(spec))
 
     def norm(name, fb, level, out_dtype=None):
         y, s = _norm(spec.norm_type, params[name],
@@ -241,9 +278,15 @@ def apply_unet(
         y, s = _block(spec.block_norm_type, params[name],
                       bn_state.get(name) if bn_state else None, fb, level,
                       training=training, momentum=bn_momentum,
-                      axis_name=axis_name)
+                      axis_name=axis_name, folded=folded)
         new_state[name] = s
         return y
+
+    def fold_of(name):
+        """(weight scale, bias) of BN `name` when folding, else (None, None)."""
+        if not folded:
+            return None, None
+        return _bn_fold(params[name], bn_state[name])
 
     def level_tail(prefix, fb, level):
         """norm (-> block [-> relu -> norm_2 -> block_2]...) .
@@ -251,17 +294,20 @@ def apply_unet(
         Returns (post_relu bf16, skip bf16) where skip follows the reference:
         block output for ResUNet families, PRE-relu norm output for
         SimpleNet (reference model/simpleunet.py:97-99 vs resunet.py:142-146).
+        When folded, `fb` already carries the norm affine (folded into the
+        producing conv) — the norm step is skipped.
         """
-        C = fb.shape[1] // 8
         if spec.block_norm_type:
-            x = norm(f"norm{prefix}", fb, level, out_dtype=brick_conv.DTYPE)
+            x = fb if folded else norm(f"norm{prefix}", fb, level,
+                                       out_dtype=brick_conv.DTYPE)
             x = block(f"block{prefix}", x, level)
             for r in range(2, spec.repeats + 1):
                 x = norm(f"norm{prefix}_{r}", jax.nn.relu(x), level,
                          out_dtype=brick_conv.DTYPE)
                 x = block(f"block{prefix}_{r}", x, level)
             return x, x  # block already ends in relu
-        x = norm(f"norm{prefix}", fb, level, out_dtype=brick_conv.DTYPE)
+        x = fb if folded else norm(f"norm{prefix}", fb, level,
+                                   out_dtype=brick_conv.DTYPE)
         skip = x                                     # pre-relu (SimpleNet)
         post = jax.nn.relu(x)
         return post, skip
@@ -273,19 +319,31 @@ def apply_unet(
     else:
         fb0 = vox_to_fb(lvl0, in_feats.astype(brick_conv.DTYPE))
 
+    def enc_conv(W, normname, fb, level, k=3):
+        g, b = fold_of(normname)
+        return conv_same(fb, level, W if g is None else W * g, k=k, bias=b,
+                         mask_output=folded)
+
     # ---- encoder
     skips = []
-    out = conv_same(fb0, lvl0, params["conv1"], k=conv1_kernel_size)
+    out = enc_conv(params["conv1"], "norm1", fb0, lvl0, k=conv1_kernel_size)
     out, skip = level_tail("1", out, lvl0)
     skips.append(skip)
     for l in range(2, L + 1):
-        out = conv_down(out, levels[l - 2], levels[l - 1], params[f"conv{l}"])
+        g, b = fold_of(f"norm{l}")
+        W = params[f"conv{l}"]
+        out = conv_down(out, levels[l - 2], levels[l - 1],
+                        W if g is None else W * g, bias=b,
+                        mask_output=folded)
         out, skip = level_tail(str(l), out, levels[l - 1])
         skips.append(skip)
 
     # ---- decoder
     for l in range(L, 1, -1):
-        out = conv_up(out, levels[l - 2], params[f"conv{l}_tr"])
+        g, b = fold_of(f"norm{l}_tr")
+        W = params[f"conv{l}_tr"]
+        out = conv_up(out, levels[l - 2], W if g is None else W * g, bias=b,
+                      mask_output=folded)
         out, _ = level_tail(f"{l}_tr", out, levels[l - 2])
         # ME.cat(out_tr, out_enc): decoder features first
         out = fb_concat(out, spec.tr_channels[l - 1], skips[l - 2],
@@ -295,8 +353,11 @@ def apply_unet(
     if spec.conv1_tr_kernel == 1:
         out = conv1x1(out, params["conv1_tr"][0], level=lvl0)
     else:
-        out = conv_same(out, lvl0, params["conv1_tr"])
-    if spec.conv1_tr_norm:
+        g, b = fold_of("norm1_tr") if spec.conv1_tr_norm else (None, None)
+        W = params["conv1_tr"]
+        out = conv_same(out, lvl0, W if g is None else W * g, bias=b,
+                        mask_output=True)
+    if spec.conv1_tr_norm and not folded:
         out = norm("norm1_tr", out, lvl0, out_dtype=brick_conv.DTYPE)
     out = jax.nn.relu(out)
 

@@ -45,12 +45,15 @@ class SC2PCRConfig:
     k2: int = 20
     inlier_threshold: float = 0.6
     seed_cap: int | None = None  # static seed count; default int(max_points*ratio)
-    approx_topk: bool = True     # use TPU approx_max_k (recall ~0.85) for the
-    #   k1/seed selections. The exact top_k custom call costs ~2 ms at
-    #   [1000, 5000] on v5e — 30% of the whole registration; which of the
-    #   ~equally-compatible correspondences enters the k1=30 consensus pool
-    #   is already heuristic, so high-recall approx selection does not
-    #   change the consensus. Set False for bit-exact reference semantics.
+    approx_topk: bool = False    # True = TPU approx_max_k (recall ~0.85) for
+    #   the k1/seed selections instead of the reference's exact argsort.
+    #   A/B on 200 synthetic pairs at inlier rates 0.05-0.4 (tools/ab_topk,
+    #   N=1000, S=200, v5e): exact ties or beats approx (RR 100 vs 98 at
+    #   rate 0.2, equal elsewhere; RE/TE deltas < 0.15 deg / 0.2 mm) and
+    #   was not slower at these shapes (0.111 vs 0.138 s/pair) — so exact
+    #   reference semantics are the default; approx remains an opt-in for
+    #   self-labeling-scale workloads where the consensus pool is heuristic
+    #   anyway.
 
     @property
     def num_seeds(self) -> int:

@@ -292,8 +292,24 @@ def fb_to_vox(level: BrickLevel, fb: jnp.ndarray, C: int) -> jnp.ndarray:
     return jnp.take(jnp.concatenate([flat, z], 0), level.cellslot, axis=0)
 
 
+def _epilogue(acc: jnp.ndarray, level: BrickLevel, Co: int,
+              bias: jnp.ndarray | None, mask_output: bool) -> jnp.ndarray:
+    """Shared conv epilogue: optional per-channel bias (folded BN offset),
+    optional pad-cell zeroing, cast to the compute dtype — ONE fused
+    elementwise pass. mask_output=False is for convs whose only consumer
+    is a masked BatchNorm (it re-masks and computes masked statistics, so
+    pre-masking is a redundant [NB, 8Co] pass — measured ~2 ms/pair of
+    pred/mask fusions)."""
+    if bias is not None:
+        acc = acc + jnp.tile(bias.astype(acc.dtype), 8)
+    if mask_output:
+        acc = acc * occ_mask(level, Co, jnp.float32)
+    return acc.astype(DTYPE)
+
+
 def conv_same(fb: jnp.ndarray, level: BrickLevel, W: jnp.ndarray,
-              k: int = 3) -> jnp.ndarray:
+              k: int = 3, bias: jnp.ndarray | None = None,
+              mask_output: bool = True) -> jnp.ndarray:
     """Stride-1 conv at one level. fb [NBtot, 8Ci] -> [NBtot, 8Co] DTYPE.
 
     Output is cast straight to the compute dtype (bf16 in production): the
@@ -305,13 +321,14 @@ def conv_same(fb: jnp.ndarray, level: BrickLevel, W: jnp.ndarray,
     for cells, arr in parts:
         t = _mm(arr, embed_w_conv_cells(W, tuple(cells), k))
         out = t if out is None else out + t
-    return (out * occ_mask(level, Co, jnp.float32)).astype(DTYPE)
+    return _epilogue(out, level, Co, bias, mask_output)
 
 
 def conv_down(fb: jnp.ndarray, level: BrickLevel, next_level: BrickLevel,
-              W: jnp.ndarray) -> jnp.ndarray:
+              W: jnp.ndarray, bias: jnp.ndarray | None = None,
+              mask_output: bool = True) -> jnp.ndarray:
     """Stride-2 conv level l -> l+1. fb [NBtot_l, 8Ci] ->
-    [NBtot_{l+1}, 8Co] f32."""
+    [NBtot_{l+1}, 8Co] DTYPE."""
     _, Ci, Co = W.shape
     parts = halo_parts(fb, level.nbr6, Ci, width=1)
     out_vox = None                          # [NBtot, Co] rows = coarse voxels
@@ -321,14 +338,18 @@ def conv_down(fb: jnp.ndarray, level: BrickLevel, next_level: BrickLevel,
     NB_next = next_level.bkeys.shape[0]
     out = jnp.zeros((NB_next * 8, Co), out_vox.dtype)
     out = out.at[next_level.cellslot].add(out_vox, mode="drop")
-    return (out.reshape(NB_next, 8 * Co)
-            * occ_mask(next_level, Co, jnp.float32)).astype(DTYPE)
+    out = out.reshape(NB_next, 8 * Co)
+    # bias must hit occupied cells only (the scatter leaves pads zero)
+    if bias is not None:
+        return _epilogue(out, next_level, Co, bias, True)
+    return _epilogue(out, next_level, Co, None, mask_output)
 
 
 def conv_up(coarse_fb: jnp.ndarray, fine_level: BrickLevel,
-            W: jnp.ndarray) -> jnp.ndarray:
+            W: jnp.ndarray, bias: jnp.ndarray | None = None,
+            mask_output: bool = True) -> jnp.ndarray:
     """Transposed stride-2 conv level l+1 -> l. coarse_fb
-    [NBtot_{l+1}, 8Ci] -> fine fb [NBtot_l, 8Co] f32."""
+    [NBtot_{l+1}, 8Ci] -> fine fb [NBtot_l, 8Co] DTYPE."""
     _, Ci, Co = W.shape
     NBtot = fine_level.bkeys.shape[0]
     flat = coarse_fb.reshape(-1, Ci)
@@ -336,8 +357,10 @@ def conv_up(coarse_fb: jnp.ndarray, fine_level: BrickLevel,
     padded = jnp.concatenate([flat, z], 0)
     w = jnp.take(padded, fine_level.up_slots.reshape(-1), axis=0)
     w = w.reshape(NBtot, 8 * Ci)
-    return (_mm(w, embed_w_up(W))
-            * occ_mask(fine_level, Co, jnp.float32)).astype(DTYPE)
+    acc = _mm(w, embed_w_up(W))
+    if bias is not None:
+        return _epilogue(acc, fine_level, Co, bias, True)
+    return _epilogue(acc, fine_level, Co, None, mask_output)
 
 
 def conv1x1(fb: jnp.ndarray, W: jnp.ndarray, bias: jnp.ndarray | None = None,

@@ -98,6 +98,24 @@ class TestForward:
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
         assert not np.allclose(np.asarray(new_state["norm1"].mean), 0.0)
 
+    @pytest.mark.parametrize("name", ["ResUNetBN2C", "SimpleNetBNE"])
+    def test_folded_bn_matches_unfolded(self, name):
+        """Eval-time BN folding (conv-weight absorption) must reproduce the
+        unfolded eval forward exactly (f32)."""
+        rng = np.random.default_rng(7)
+        vox, pyr = make_batch(rng, B=1, caps=(512, 256, 256, 256))
+        spec = load_model(name)
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(4), 1, 16, 3)
+        # non-trivial running stats: one training forward
+        _, bn_state = apply_unet(spec, params, bn_state, pyr, training=True,
+                                 conv1_kernel_size=3)
+        plain, _ = apply_unet(spec, params, bn_state, pyr, training=False,
+                              conv1_kernel_size=3, fold_bn=False)
+        folded, _ = apply_unet(spec, params, bn_state, pyr, training=False,
+                               conv1_kernel_size=3, fold_bn=True)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                                   atol=2e-4)
+
     def test_eval_mode_batch_isolation(self):
         """In eval mode a cloud's features must not depend on its batchmates."""
         rng = np.random.default_rng(1)
