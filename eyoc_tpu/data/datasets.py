@@ -426,32 +426,147 @@ class SyntheticPairDataset(PairDatasetBase):
         self.files = [(0, i, i + 1) for i in range(n_pairs)]
 
     @staticmethod
-    def make_scene(rng, n, extent=90.0):
-        """LiDAR-like radial density: ranges ~ r*exp draw so points concentrate
-        near the sensors (real KITTI voxelizes ~130k raw points to ~20k at
-        0.3 m; uniform scenes would saturate any voxel budget)."""
-        n_ground = n // 2
-        r = np.minimum(4.0 + rng.exponential(18.0, n_ground), extent)
-        theta = rng.uniform(0, 2 * np.pi, n_ground)
-        ground = np.stack([
-            r * np.cos(theta) + rng.uniform(-extent / 3, extent / 3),
-            r * np.sin(theta),
-            rng.normal(0.0, 0.05, n_ground) - 1.7,
-        ], -1)
-        n_obj = n - n_ground
-        rc = np.minimum(5.0 + rng.exponential(25.0, 64), extent)
-        tc = rng.uniform(0, 2 * np.pi, 64)
-        centers = np.stack([rc * np.cos(tc), rc * np.sin(tc), rng.uniform(0, 2, 64)], -1)
-        sizes = rng.uniform(0.5, 6.0, (64, 3))
-        which = rng.integers(0, 64, n_obj)
-        objs = centers[which] + rng.uniform(-1, 1, (n_obj, 3)) * sizes[which]
-        return np.concatenate([ground, objs]).astype(np.float32)
+    def make_boxes(rng, extent=80.0, n_boxes=144, keepout=()):
+        """World AABBs [M, 2, 3] (lo, hi): cars / poles / building slabs
+        scattered with LiDAR-realistic radial density around the origin.
+        `keepout`: world xy positions (sensor sites) no box may cover."""
+        rc = np.minimum(6.0 + rng.exponential(22.0, n_boxes), extent)
+        tc = rng.uniform(0, 2 * np.pi, n_boxes)
+        cx, cy = rc * np.cos(tc), rc * np.sin(tc)
+        kind = rng.choice(4, n_boxes, p=[0.22, 0.18, 0.2, 0.4])
+        sizes = np.select(
+            [kind[:, None] == 0, kind[:, None] == 1, kind[:, None] == 2],
+            [rng.uniform([1.6, 3.5, 1.3], [2.2, 5.0, 1.8],
+                         (n_boxes, 3)),                          # cars
+             rng.uniform([0.2, 0.2, 3.0], [0.5, 0.5, 6.0],
+                         (n_boxes, 3)),                          # poles/trunks
+             rng.uniform([4.0, 8.0, 4.0], [12.0, 20.0, 9.0],
+                         (n_boxes, 3))],
+            rng.uniform([2.0, 2.0, 2.0], [7.0, 7.0, 7.0],
+                        (n_boxes, 3)))                           # trees/bushes
+        # vegetation scatters diffusely (thick shells of voxels, like real
+        # foliage); hard surfaces get sensor-level noise only
+        sigma = np.select([kind == 3, kind == 2], [0.35, 0.08], 0.02)
+        # keep the road corridor (|y| < 4.5 along the sensor line) clear:
+        # the sensors drive through this scene, so structure sits at the
+        # roadside, not on the road — otherwise nearby buildings wall each
+        # sensor into a private pocket with no co-visible geometry
+        half_w = sizes[:, 1] / 2
+        need = np.maximum(0.0, 4.5 + half_w - np.abs(cy))
+        cy = cy + np.where(cy >= 0, need, -need)
+        lo = np.stack([cx - sizes[:, 0] / 2, cy - sizes[:, 1] / 2,
+                       np.full(n_boxes, -1.7)], -1)
+        hi = lo + sizes
+        boxes = np.stack([lo, hi], 1).astype(np.float64)
+        for sx, sy in keepout:
+            inside = ((boxes[:, 0, 0] < sx + 3) & (boxes[:, 1, 0] > sx - 3)
+                      & (boxes[:, 0, 1] < sy + 3) & (boxes[:, 1, 1] > sy - 3))
+            boxes[inside, :, 0] += 200.0      # relocate out of lidar range
+        return boxes, sigma
+
+    @staticmethod
+    def _terrain(rng_seed, xy):
+        """Smooth deterministic height field (road crown / curbs / grass):
+        a few low-frequency sinusoids, amplitude ~0.2 m. Seeded per pair so
+        both scans displace the SAME world surface (consistent GT)."""
+        r = np.random.default_rng(rng_seed)
+        h = np.zeros(len(xy))
+        for _ in range(6):
+            k = r.uniform(0.02, 0.25, 2)
+            ph = r.uniform(0, 2 * np.pi)
+            h += r.uniform(0.04, 0.12) * np.sin(xy @ k + ph)
+        return h
+
+    @staticmethod
+    def raycast_scan(rng, origin, yaw, boxes, n_beams=64, n_az=2048,
+                     max_range=80.0, terrain_seed=None, box_sigma=None):
+        """HDL-64E-like scan: n_beams elevation rings x n_az azimuth rays,
+        cast against ground plane (z=-1.7) + world AABBs. Reproduces real
+        LiDAR ring structure and range-dependent density, so voxel counts
+        at 0.3 m match real KITTI scans (~15-25k voxels from ~130k points,
+        SURVEY.md §5 'points-per-cloud scaling') instead of saturating the
+        capacity budget the way uniform synthetic scenes do.
+
+        Returns sensor-frame points [N, 3] float32 (z up, sensor at z=0).
+        """
+        el = np.deg2rad(np.linspace(-24.9, 2.0, n_beams))
+        az = np.linspace(0, 2 * np.pi, n_az, endpoint=False) \
+            + rng.uniform(0, 2 * np.pi / n_az)
+        ce, se = np.cos(el), np.sin(el)
+        ca, sa = np.cos(az + yaw), np.sin(az + yaw)
+        # world-frame dirs [n_beams*n_az, 3]
+        d = np.stack([np.outer(ce, ca), np.outer(ce, sa),
+                      np.broadcast_to(se[:, None], (n_beams, n_az))],
+                     -1).reshape(-1, 3).astype(np.float32)
+        o = np.asarray(origin, np.float64)
+        # prune boxes that cannot be hit (keepout-relocated / out of range)
+        near = ((boxes[:, 0, :2] < o[:2] + max_range)
+                & (boxes[:, 1, :2] > o[:2] - max_range)).all(-1)
+        if box_sigma is not None:
+            box_sigma = box_sigma[near]
+        boxes = boxes[near].astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tg = (-1.7 - o[2]) / d[:, 2]          # ground plane
+            t = np.where((d[:, 2] < 0) & (tg > 0), tg, np.inf)
+            # slab test against all boxes, chunked over rays to keep the
+            # [chunk, M, 3] temporaries cache-resident
+            lo = (boxes[:, 0, :] - o).astype(np.float32)
+            hi = (boxes[:, 1, :] - o).astype(np.float32)
+            kbox = np.zeros(len(d), np.int64)
+            tb = np.empty(len(d), np.float32)
+            for a0 in range(0, len(d), 16384):
+                dc = d[a0:a0 + 16384]
+                inv = 1.0 / dc
+                t1 = lo[None] * inv[:, None, :]
+                t2 = hi[None] * inv[:, None, :]
+                tn = np.minimum(t1, t2).max(-1)
+                tf = np.maximum(t1, t2).min(-1)
+                tn = np.where((tf >= tn) & (tf > 0),
+                              np.maximum(tn, 0.0), np.inf)
+                k = np.argmin(tn, -1)
+                kbox[a0:a0 + 16384] = k
+                tb[a0:a0 + 16384] = tn[np.arange(len(tn)), k]
+        ground_hit = t <= tb                  # ground won (vs any box)
+        t = np.minimum(t, tb)
+        hit = (t > 2.0) & (t < max_range)
+        pts = o + t[hit, None] * d[hit]
+        if terrain_seed is not None:
+            gh = ground_hit[hit]
+            pts[gh, 2] += SyntheticPairDataset._terrain(
+                terrain_seed, pts[gh, :2])
+        # per-surface roughness: vegetation boxes scatter diffusely
+        sig = np.full(len(pts), 0.02)
+        if box_sigma is not None:
+            bh = ~ground_hit[hit]
+            sig[bh] = box_sigma[kbox[hit][bh]]
+        pts = pts + rng.normal(0, 1.0, pts.shape) * sig[:, None]
+        # to sensor frame (yaw-only pose)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        return ((pts - o) @ R).astype(np.float32)
 
     def __getitem__(self, idx):
         rng = np.random.default_rng(1000 + idx)
-        scene = self.make_scene(rng, self.n_points * 2)
-        # two sensor poses `dist` apart along x with small heading change
         d = self.dist
+        # boxes centered between the two poses so both scans see structure
+        boxes, sigma = self.make_boxes(rng, keepout=((-d / 2, 0), (d / 2, 0)))
+        boxes[:, :, 0] += d / 2
+        # street facades along the sensor line: walls parallel to the road
+        # present the SAME face to both sensors — the geometry that makes
+        # distant-pair registration possible at all (box sides and ground
+        # rings are view-dependent and barely co-visible at 45 m)
+        walls = []
+        for sgn in (-1.0, 1.0):
+            x0 = rng.uniform(-25, -5)
+            while x0 < d + 10:
+                length = rng.uniform(8, 30)
+                y = sgn * rng.uniform(7, 18)
+                h = rng.uniform(2.5, 8.0)
+                walls.append([[x0, min(y, y + sgn * 0.6), -1.7],
+                              [x0 + length, max(y, y + sgn * 0.6), -1.7 + h]])
+                x0 += length + rng.uniform(2, 12)
+        boxes = np.concatenate([boxes, np.asarray(walls, np.float64)], 0)
+        sigma = np.concatenate([sigma, np.full(len(walls), 0.08)])
         yaw = rng.uniform(-0.3, 0.3)
         c, s = np.cos(yaw), np.sin(yaw)
         pos0 = np.eye(4); pos0[:3, 3] = (0, 0, 0)
@@ -459,17 +574,17 @@ class SyntheticPairDataset(PairDatasetBase):
         pos1[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         pos1[:3, 3] = (d, rng.uniform(-2, 2), 0)
 
-        def scan(pose):
-            inv = np.linalg.inv(pose)
-            local = scene @ inv[:3, :3].T + inv[:3, 3]
-            r = np.linalg.norm(local[:, :2], axis=1)
-            vis = (r < 80.0) & (r > 2.0)
-            pts = local[vis]
-            pick = rng.permutation(len(pts))[: self.n_points]
-            pts = pts[pick] + rng.normal(0, 0.02, (len(pick), 3))
-            return pts.astype(np.float32)
+        n_az = max(64, self.n_points // 64)
 
-        xyz0, xyz1 = scan(pos0), scan(pos1)
+        def scan(pose, pyaw):
+            pts = self.raycast_scan(rng, pose[:3, 3], pyaw, boxes,
+                                    n_az=n_az, terrain_seed=7000 + idx,
+                                    box_sigma=sigma)
+            if len(pts) > self.n_points:
+                pts = pts[rng.permutation(len(pts))[: self.n_points]]
+            return pts
+
+        xyz0, xyz1 = scan(pos0, 0.0), scan(pos1, yaw)
         M2 = np.linalg.inv(pos1) @ pos0
         xyz0, xyz1, trans, search = augment_pair(
             xyz0, xyz1, M2, self.randg,

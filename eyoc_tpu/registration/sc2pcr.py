@@ -184,8 +184,11 @@ def sc2_pcr(
     cross = jnp.abs(src_dist - tgt_dist)
 
     sc = jnp.clip(1.0 - cross**2 / cfg.d_thre**2, 0.0, None) * pair_ok
-    hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.float32)
-    hard_tight = ((cross < cfg.d_thre / 2.0) & pair_ok).astype(jnp.float32)
+    # 0/1 masks in bf16: products are exact and the [S,N]@[N,N] consensus
+    # matmul accumulates in f32 (exact integers), at half the HBM traffic
+    # and twice the MXU rate of f32 operands
+    hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.bfloat16)
+    hard_tight = ((cross < cfg.d_thre / 2.0) & pair_ok).astype(jnp.bfloat16)
 
     confidence = _power_iteration(sc, cfg.num_iterations) * vf
     num_seeds = min(cfg.num_seeds, n)
@@ -196,7 +199,9 @@ def sc2_pcr(
 
     seed_tight = jnp.take(hard_tight, seeds, axis=0)          # [S, N]
     seed_hard = jnp.take(hard, seeds, axis=0)
-    SC2 = (seed_tight @ hard_tight) * seed_hard               # [S, N]
+    SC2 = jax.lax.dot(seed_tight, hard_tight,
+                      preferred_element_type=jnp.float32)     # exact counts
+    SC2 = SC2 * seed_hard.astype(jnp.float32)                 # [S, N]
 
     trans, fitness = _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid)
     trans = _post_refine(cfg, trans, src, tgt, valid)

@@ -23,7 +23,7 @@ from eyoc_tpu.sparse.voxelize import voxelize
 from eyoc_tpu.training.pipeline import preprocess_clouds
 
 RAW = 131072
-CAPS = (32768, 20480, 8192, 2048)
+CAPS = (16384, 5120, 1536, 512)
 
 
 def _force(out):

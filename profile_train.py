@@ -13,7 +13,7 @@ from eyoc_tpu.registration.sc2pcr import SC2PCRConfig
 from eyoc_tpu.training.steps import StepBuilder, StepConfig, init_train_state
 
 RAW = 131072
-CAPS = (32768, 20480, 8192, 2048)
+CAPS = (16384, 5120, 1536, 512)
 
 
 def timeit(name, fn, *args, n=6):
