@@ -5,7 +5,7 @@ from eyoc_tpu.geometry.se3 import (
     decompose_trans,
     rotation_from_axis_angle,
 )
-from eyoc_tpu.geometry.svd3 import jacobi_eigh, kabsch
+from eyoc_tpu.geometry.svd3 import jacobi_eigh, kabsch, kabsch_qcp
 from eyoc_tpu.geometry.robust import est_quad_linear_robust
 from eyoc_tpu.geometry.metrics import (
     pdist2,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from eyoc_tpu.geometry.se3 import transform_points
-from eyoc_tpu.geometry.svd3 import kabsch
+from eyoc_tpu.geometry.svd3 import kabsch, kabsch_qcp
 from eyoc_tpu.ops.knn import masked_argmin
 
 
@@ -45,45 +45,66 @@ class SC2PCRConfig:
     k2: int = 20
     inlier_threshold: float = 0.6
     seed_cap: int | None = None  # static seed count; default int(max_points*ratio)
-    approx_topk: bool = False    # True = TPU approx_max_k (recall ~0.85) for
-    #   the k1/seed selections instead of the reference's exact argsort.
+    qcp_kabsch: bool = False     # True = QCP characteristic-quartic Kabsch
+    #   (geometry/svd3.py:kabsch_qcp) instead of the 8-sweep Jacobi for the
+    #   per-seed solves and the IRLS refinement chain — ~4x less serial
+    #   depth per solve. Off until an on-TPU A/B pins down the RR/RE/TE
+    #   delta (CPU tests show agreement to <1e-3 rotation Frobenius).
+    approx_topk: bool = False    # True = TPU approx_max_k for the k1/seed
+    #   selections instead of the reference's exact argsort.
     #   A/B on 200 synthetic pairs at inlier rates 0.05-0.4 (tools/ab_topk,
-    #   N=1000, S=200, v5e): exact ties or beats approx (RR 100 vs 98 at
-    #   rate 0.2, equal elsewhere; RE/TE deltas < 0.15 deg / 0.2 mm) and
-    #   was not slower at these shapes (0.111 vs 0.138 s/pair) — so exact
-    #   reference semantics are the default; approx remains an opt-in for
-    #   self-labeling-scale workloads where the consensus pool is heuristic
-    #   anyway.
+    #   N=1000, S=200, v5e): exact ties or beats approx at recall 0.85
+    #   (RR 100 vs 98 at rate 0.2, equal elsewhere; RE/TE deltas
+    #   < 0.15 deg / 0.2 mm) — so exact reference semantics are the
+    #   default; approx remains an opt-in for self-labeling-scale
+    #   workloads where the consensus pool is heuristic anyway.
+    topk_recall: float = 0.85    # recall_target when approx_topk=True.
+    #   recall 1.0 is still the TPU PartialReduce lowering but with an
+    #   exactness-guaranteeing reduction size — a candidate exact-topk
+    #   replacement for the full-row variadic sort (~2 ms/pair at
+    #   [S=1000, N=5000], PERF_NOTES round-3 session B).
+    bf16_power: bool = False     # run the [N, N] confidence power iteration
+    #   with a bf16 compatibility matrix (f32 accumulation): halves the
+    #   dominant HBM traffic of sc2_pcr's setup (20 matvecs re-reading a
+    #   100 MB f32 matrix at N=5000). Off until the on-TPU RR A/B.
 
     @property
     def num_seeds(self) -> int:
         return self.seed_cap or int(self.max_points * self.ratio)
 
 
-def _power_iteration(M: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Leading eigenvector of [..., n, n]; returns [..., n]."""
-    v = jnp.ones(M.shape[:-1] + (1,), M.dtype)
+def _power_iteration(M: jnp.ndarray, iters: int, bf16: bool = False) -> jnp.ndarray:
+    """Leading eigenvector of [..., n, n]; returns [..., n].
+
+    bf16=True stores M once as bf16 (halving the per-matvec HBM reads —
+    the re-read of M dominates at n=5000) while the iterate and the
+    accumulation stay f32.
+    """
+    if bf16:
+        M = M.astype(jnp.bfloat16)
+    v = jnp.ones(M.shape[:-1] + (1,), jnp.float32)
 
     def body(_, v):
-        v = M @ v
+        v = jnp.einsum("...ij,...jk->...ik", M, v.astype(M.dtype),
+                       preferred_element_type=jnp.float32)
         return v / (jnp.linalg.norm(v, axis=-2, keepdims=True) + 1e-6)
 
     v = jax.lax.fori_loop(0, iters, body, v)
     return v[..., 0]
 
 
-def _topk(x, k, approx: bool):
+def _topk(x, k, approx: bool, recall: float = 0.85):
     if approx and k < x.shape[-1]:
-        return jax.lax.approx_max_k(x, k, recall_target=0.85)
+        return jax.lax.approx_max_k(x, k, recall_target=recall)
     return jax.lax.top_k(x, k)
 
 
-def _pick_seeds(src_dist, scores, radius, num_seeds, approx=False):
+def _pick_seeds(src_dist, scores, radius, num_seeds, approx=False, recall=0.85):
     """NMS seed selection (reference pick_seeds, SC2_PCR.py:33-59)."""
     relation = (scores[:, None] >= scores[None, :]) | (src_dist >= radius)
     is_local_max = jnp.min(relation, axis=-1).astype(scores.dtype)
     local_scores = scores * is_local_max
-    _, seeds = _topk(local_scores, num_seeds, approx)
+    _, seeds = _topk(local_scores, num_seeds, approx, recall)
     seed_ok = jnp.take(local_scores, seeds) > 0
     return seeds.astype(jnp.int32), seed_ok
 
@@ -93,7 +114,7 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
     k1, k2 = cfg.k1, cfg.k2
     # stage 1: k1 best columns per seed (invalid columns forced below any valid)
     SC2 = jnp.where(valid[None, :], SC2, -1.0)
-    _, knn_idx = _topk(SC2, k1, cfg.approx_topk)             # [S, k1]
+    _, knn_idx = _topk(SC2, k1, cfg.approx_topk, cfg.topk_recall)  # [S, k1]
     nbr_ok = jnp.take(valid, knn_idx)                        # [S, k1]
     src_knn = jnp.take(src, knn_idx, axis=0)                 # [S, k1, 3]
     tgt_knn = jnp.take(tgt, knn_idx, axis=0)
@@ -126,7 +147,8 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
     w = jnp.abs(w) * fine_ok
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-6)
 
-    trans = kabsch(src_fine, tgt_fine, w)                    # [S, 4, 4]
+    solve = kabsch_qcp if cfg.qcp_kabsch else kabsch
+    trans = solve(src_fine, tgt_fine, w)                     # [S, 4, 4]
 
     # fitness: inliers over the full correspondence set (:150-162)
     pred = jnp.einsum("sij,nj->sni", trans[:, :3, :3], src) + trans[:, None, :3, 3]
@@ -140,6 +162,7 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
 def _post_refine(cfg, trans, src, tgt, valid, it_num: int = 20):
     """IRLS refinement with inlier-count convergence (reference :238-278)."""
     thr = 0.10 if cfg.inlier_threshold == 0.10 else 1.2
+    solve = kabsch_qcp if cfg.qcp_kabsch else kabsch
 
     def cond(state):
         _, prev, cur, it = state
@@ -151,7 +174,7 @@ def _post_refine(cfg, trans, src, tgt, valid, it_num: int = 20):
         dist = jnp.linalg.norm(warped - tgt, axis=-1)
         inlier = (dist < thr) & valid
         w = (1.0 / (1.0 + (dist / thr) ** 2)) * inlier
-        new_trans = kabsch(src[None], tgt[None], w[None])[0]
+        new_trans = solve(src[None], tgt[None], w[None])[0]
         new_count = jnp.sum(inlier.astype(jnp.int32))
         # keep the previous trans if this round had no inliers at all
         new_trans = jnp.where(new_count > 0, new_trans, trans)
@@ -190,12 +213,14 @@ def sc2_pcr(
     hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.bfloat16)
     hard_tight = ((cross < cfg.d_thre / 2.0) & pair_ok).astype(jnp.bfloat16)
 
-    confidence = _power_iteration(sc, cfg.num_iterations) * vf
+    confidence = _power_iteration(sc, cfg.num_iterations,
+                                  bf16=cfg.bf16_power) * vf
     num_seeds = min(cfg.num_seeds, n)
     # NMS over infinite distance for invalid entries never suppresses valid ones
     src_dist_nms = jnp.where(pair_ok, src_dist, jnp.inf)
     seeds, seed_ok = _pick_seeds(src_dist_nms, confidence, cfg.nms_radius,
-                                 num_seeds, approx=cfg.approx_topk)
+                                 num_seeds, approx=cfg.approx_topk,
+                                 recall=cfg.topk_recall)
 
     seed_tight = jnp.take(hard_tight, seeds, axis=0)          # [S, N]
     seed_hard = jnp.take(hard, seeds, axis=0)

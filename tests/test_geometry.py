@@ -183,3 +183,81 @@ class TestMetrics:
         b = rng.standard_normal((7, 4)).astype(np.float32)
         ref = ((a[:, None] - b[None]) ** 2).sum(-1)
         np.testing.assert_allclose(np.asarray(pdist2(jnp.asarray(a), jnp.asarray(b))), ref, atol=1e-4)
+
+
+class TestKabschQCP:
+    """QCP (characteristic-quartic) Kabsch must agree with the Jacobi path."""
+
+    def _random_problem(self, seed, S=256, N=20, noise=0.0):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(S, N, 3)).astype(np.float32) * 10
+        Bs = np.empty_like(A)
+        for s in range(S):
+            T = random_trans(rng)
+            Bs[s] = A[s] @ T[:3, :3].T + T[:3, 3]
+        if noise:
+            Bs = Bs + rng.normal(size=Bs.shape).astype(np.float32) * noise
+        w = rng.uniform(0.1, 1.0, size=(S, N)).astype(np.float32)
+        return jnp.asarray(A), jnp.asarray(Bs), jnp.asarray(w)
+
+    def test_quartic_coeffs_match_numpy_charpoly(self):
+        from eyoc_tpu.geometry.svd3 import _horn_profile_matrix, _qcp_quartic_coeffs
+
+        rng = np.random.default_rng(3)
+        H = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        N4 = np.asarray(_horn_profile_matrix(jnp.asarray(H)), np.float64)
+        c2, c1, c0 = (np.asarray(c, np.float64)
+                      for c in _qcp_quartic_coeffs(jnp.asarray(H)))
+        for i in range(64):
+            ev = np.linalg.eigvalsh(N4[i])
+            # evaluate x^4 + c2 x^2 + c1 x + c0 at the true eigenvalues
+            P = ev**4 + c2[i] * ev**2 + c1[i] * ev + c0[i]
+            assert np.abs(P).max() < 1e-2 * max(1.0, np.abs(ev).max() ** 4)
+
+    def test_matches_jacobi_noisy_weighted(self):
+        from eyoc_tpu.geometry import kabsch_qcp
+
+        A, B, w = self._random_problem(0, noise=0.5)
+        Tj = jax.jit(kabsch)(A, B, w)
+        Tq = jax.jit(kabsch_qcp)(A, B, w)
+        dR = np.linalg.norm(np.asarray(Tj[:, :3, :3] - Tq[:, :3, :3]), axis=(1, 2))
+        dt = np.linalg.norm(np.asarray(Tj[:, :3, 3] - Tq[:, :3, 3]), axis=1)
+        assert dR.max() < 1e-3 and dt.max() < 1e-2
+
+    def test_exact_recovery_clean(self):
+        from eyoc_tpu.geometry import kabsch_qcp
+
+        A, B, w = self._random_problem(1)
+        Tq = np.asarray(jax.jit(kabsch_qcp)(A, B, w))
+        err = np.linalg.norm(
+            np.einsum("sij,snj->sni", Tq[:, :3, :3], np.asarray(A))
+            + Tq[:, None, :3, 3] - np.asarray(B), axis=-1)
+        assert err.max() < 1e-3
+
+    def test_near_180_degree_rotations(self):
+        from eyoc_tpu.geometry import kabsch_qcp
+
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(32, 30, 3)).astype(np.float32) * 5
+        Bs = np.empty_like(A)
+        for s in range(32):
+            axis = rng.standard_normal(3)
+            R = np.asarray(rotation_from_axis_angle(
+                jnp.asarray(axis, jnp.float32),
+                jnp.float32(np.pi - 1e-3 * rng.uniform())))
+            Bs[s] = A[s] @ R.T
+        Tq = np.asarray(jax.jit(kabsch_qcp)(jnp.asarray(A), jnp.asarray(Bs)))
+        err = np.linalg.norm(
+            np.einsum("sij,snj->sni", Tq[:, :3, :3], A) - Bs, axis=-1)
+        assert err.max() < 1e-2
+
+    def test_degenerate_zero_weights_is_finite(self):
+        from eyoc_tpu.geometry import kabsch_qcp
+
+        A = jnp.zeros((4, 10, 3))
+        B = jnp.zeros((4, 10, 3))
+        w = jnp.zeros((4, 10))
+        T = np.asarray(jax.jit(kabsch_qcp)(A, B, w))
+        assert np.isfinite(T).all()
+        # degenerate fallback is the identity rotation
+        assert np.allclose(T[:, :3, :3], np.eye(3), atol=1e-5)

@@ -199,3 +199,19 @@ class TestMatchingOps:
         np.testing.assert_array_equal(np.asarray(a), [1, 3, 4, 7])
         np.testing.assert_array_equal(np.asarray(b), [11, 13, 14, 17])
         assert np.all(np.asarray(v))
+
+
+class TestSC2PCRQCP:
+    """qcp_kabsch=True must recover the same poses as the Jacobi default."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_recovers_pose_with_outliers(self, seed):
+        src, tgt, T = make_problem(seed)
+        cfg = SC2PCRConfig(max_points=512, seed_cap=128, qcp_kabsch=True)
+        trans, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), cfg)
+        ok, te, re = registration_success(trans, jnp.asarray(T))
+        assert bool(ok), (float(te), float(re))
+        assert float(te) < 0.1 and float(re) < 0.5
+        # and the two solvers land on (numerically) the same refinement fixpoint
+        trans_j, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), CFG)
+        assert float(jnp.abs(trans - trans_j).max()) < 5e-2
