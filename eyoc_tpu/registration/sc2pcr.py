@@ -67,6 +67,13 @@ class SC2PCRConfig:
     #   with a bf16 compatibility matrix (f32 accumulation): halves the
     #   dominant HBM traffic of sc2_pcr's setup (20 matvecs re-reading a
     #   100 MB f32 matrix at N=5000). Off until the on-TPU RR A/B.
+    chunk_topk: int = 0          # >0 = two-level EXACT top-k for the k1
+    #   column selection: per-chunk lax.top_k(k1) then top-k over the
+    #   C*k1 candidates. Same value-multiset as the full-row top_k by
+    #   construction (every global top-k1 element is top-k1 within its
+    #   chunk), but sorts rows of `chunk`/`C*k1` instead of N — the
+    #   full-row variadic sort is ~2 ms/pair at [S=1000, N=5000]. Value
+    #   is the chunk length (must divide max_points); 0 = plain top_k.
 
     @property
     def num_seeds(self) -> int:
@@ -99,6 +106,29 @@ def _topk(x, k, approx: bool, recall: float = 0.85):
     return jax.lax.top_k(x, k)
 
 
+def _chunked_topk(x, k, chunk):
+    """Exact top-k of [..., N] via per-chunk top-k + top-k of candidates.
+
+    Exactness: any element of the global top-k is within the top-k of its
+    own chunk, so the candidate pool (C*k per row) contains the full
+    top-k value multiset; tie ORDER may differ from lax.top_k, which is
+    parity-irrelevant (the reference's torch.topk tie order is arbitrary
+    too, SC2_PCR.py:76). Worth it only when k << N: sorts rows of length
+    `chunk` and C*k instead of N.
+    """
+    n = x.shape[-1]
+    if chunk <= 0 or n % chunk or n // chunk < 2 or (n // chunk) * k >= n:
+        return jax.lax.top_k(x, k)
+    c = n // chunk
+    xr = x.reshape(x.shape[:-1] + (c, chunk))
+    cv, ci = jax.lax.top_k(xr, k)                          # [..., C, k]
+    base = (jnp.arange(c, dtype=jnp.int32) * chunk)[:, None]
+    cand_v = cv.reshape(x.shape[:-1] + (c * k,))
+    cand_i = (ci + base).reshape(x.shape[:-1] + (c * k,))
+    v, sel = jax.lax.top_k(cand_v, k)
+    return v, jnp.take_along_axis(cand_i, sel, axis=-1)
+
+
 def _pick_seeds(src_dist, scores, radius, num_seeds, approx=False, recall=0.85):
     """NMS seed selection (reference pick_seeds, SC2_PCR.py:33-59)."""
     relation = (scores[:, None] >= scores[None, :]) | (src_dist >= radius)
@@ -114,7 +144,10 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
     k1, k2 = cfg.k1, cfg.k2
     # stage 1: k1 best columns per seed (invalid columns forced below any valid)
     SC2 = jnp.where(valid[None, :], SC2, -1.0)
-    _, knn_idx = _topk(SC2, k1, cfg.approx_topk, cfg.topk_recall)  # [S, k1]
+    if cfg.chunk_topk and not cfg.approx_topk:
+        _, knn_idx = _chunked_topk(SC2, k1, cfg.chunk_topk)  # [S, k1] exact
+    else:
+        _, knn_idx = _topk(SC2, k1, cfg.approx_topk, cfg.topk_recall)  # [S, k1]
     nbr_ok = jnp.take(valid, knn_idx)                        # [S, k1]
     src_knn = jnp.take(src, knn_idx, axis=0)                 # [S, k1, 3]
     tgt_knn = jnp.take(tgt, knn_idx, axis=0)

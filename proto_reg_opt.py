@@ -90,9 +90,11 @@ def main():
         "qcp": dataclasses.replace(base, qcp_kabsch=True),
         "topk1.0": dataclasses.replace(base, approx_topk=True, topk_recall=1.0),
         "topk0.95": dataclasses.replace(base, approx_topk=True, topk_recall=0.95),
+        "chunk500": dataclasses.replace(base, chunk_topk=500),
+        "chunk1000": dataclasses.replace(base, chunk_topk=1000),
         "bf16pow": dataclasses.replace(base, bf16_power=True),
-        "all": dataclasses.replace(base, qcp_kabsch=True, approx_topk=True,
-                                   topk_recall=1.0, bf16_power=True),
+        "all": dataclasses.replace(base, qcp_kabsch=True, chunk_topk=500,
+                                   bf16_power=True),
     }
     for name, cfg in variants.items():
         ms = wall(cfg, srcs, tgts)

@@ -215,3 +215,43 @@ class TestSC2PCRQCP:
         # and the two solvers land on (numerically) the same refinement fixpoint
         trans_j, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), CFG)
         assert float(jnp.abs(trans - trans_j).max()) < 5e-2
+
+
+class TestChunkedTopK:
+    """_chunked_topk must return the exact top-k value multiset."""
+
+    def test_value_multiset_exact_with_ties(self):
+        from eyoc_tpu.registration.sc2pcr import _chunked_topk
+
+        rng = np.random.default_rng(0)
+        # SC2-realistic rows: small-integer consensus counts, heavy ties,
+        # -1 at masked columns
+        x = rng.integers(0, 40, size=(64, 5000)).astype(np.float32)
+        hot = rng.uniform(size=x.shape) < 0.2
+        x = np.where(hot, rng.integers(200, 900, size=x.shape), x).astype(np.float32)
+        x[:, :7] = -1.0
+        xj = jnp.asarray(x)
+        ref_v, _ = jax.lax.top_k(xj, 30)
+        for chunk in (250, 500, 1000):
+            v, i = jax.jit(lambda a, c=chunk: _chunked_topk(a, 30, c))(xj)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(v), axis=1), np.sort(np.asarray(ref_v), axis=1))
+            # indices must be consistent with their reported values
+            vv = np.take_along_axis(x, np.asarray(i), axis=1)
+            np.testing.assert_array_equal(np.asarray(v), vv)
+
+    def test_degenerate_chunkings_fall_back(self):
+        from eyoc_tpu.registration.sc2pcr import _chunked_topk
+
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 100)).astype(np.float32))
+        for chunk in (0, 7, 100, 3):  # 0, non-divisor, single chunk, c*k >= n
+            v, i = _chunked_topk(x, 30, chunk)
+            rv, ri = jax.lax.top_k(x, 30)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+
+    def test_sc2_pcr_pose_unchanged(self):
+        src, tgt, T = make_problem(0)
+        cfg = SC2PCRConfig(max_points=512, seed_cap=128, chunk_topk=64)
+        trans, _ = sc2_pcr(jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), cfg)
+        ok, te, re = registration_success(trans, jnp.asarray(T))
+        assert bool(ok), (float(te), float(re))
