@@ -7,3 +7,11 @@ the reference this framework was built to match.
 """
 
 __version__ = "0.1.0"
+
+
+def extract_features(*args, **kwargs):
+    """Lazy alias for :func:`eyoc_tpu.api.extract_features` (the reference's
+    util/misc.py:21 user entry point)."""
+    from eyoc_tpu.api import extract_features as _impl
+
+    return _impl(*args, **kwargs)

@@ -22,3 +22,6 @@ class VoxelizedCloud(NamedTuple):
     xyz: jnp.ndarray     # [CAP, 3] f32 representative point per voxel
     mask: jnp.ndarray    # [CAP] bool
     count: jnp.ndarray   # [] int32
+    src: jnp.ndarray = None  # [CAP] int32 source-point index of the
+    #   representative (= ME's sparse_quantize return_index; P at pad rows),
+    #   for gathering per-point input features into voxel rows

@@ -63,4 +63,4 @@ def voxelize(
                            morton.decode(out_key) - sh, 0)
     xyz_pad = jnp.concatenate([xyz, jnp.zeros((1, 3), xyz.dtype)], 0)
     out_xyz = jnp.take(xyz_pad, out_src, axis=0)
-    return VoxelizedCloud(out_coords, out_xyz, out_mask, count)
+    return VoxelizedCloud(out_coords, out_xyz, out_mask, count, out_src)
