@@ -5,5 +5,9 @@
 # is not enough there).
 export JAX_PLATFORMS=cpu
 unset PALLAS_AXON_POOL_IPS  # prevent the axon TPU plugin from registering (and claiming the tunnel) in CPU test runs
-export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+# generous collective rendezvous timeouts: 8 virtual device threads on a
+# few-core host reach all-reduces serially staggered, and XLA:CPU's default
+# 40 s terminate timeout ABORTs healthy mesh tests (see tests/conftest.py —
+# set here too because jax may already be imported before conftest runs)
+export XLA_FLAGS="--xla_force_host_platform_device_count=8 --xla_cpu_collective_call_warn_stuck_timeout_seconds=120 --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 exec python -m pytest tests/ -x -q "$@"
