@@ -45,11 +45,14 @@ class SC2PCRConfig:
     k2: int = 20
     inlier_threshold: float = 0.6
     seed_cap: int | None = None  # static seed count; default int(max_points*ratio)
-    qcp_kabsch: bool = False     # True = QCP characteristic-quartic Kabsch
+    qcp_kabsch: bool = True      # True = QCP characteristic-quartic Kabsch
     #   (geometry/svd3.py:kabsch_qcp) instead of the 8-sweep Jacobi for the
     #   per-seed solves and the IRLS refinement chain — ~4x less serial
-    #   depth per solve. Off until an on-TPU A/B pins down the RR/RE/TE
-    #   delta (CPU tests show agreement to <1e-3 rotation Frobenius).
+    #   depth per solve. Default ON after the on-TPU A/B (proto_reg_opt,
+    #   32 synthetic pairs, N=5000/S=1000, inlier 0.2 and 0.07): 8.79 ->
+    #   7.98 ms/call AND strictly more accurate (medTE 0.11 -> 0.00 cm,
+    #   medRE 0.103 -> 0.000 deg — the quartic Newton converges past the
+    #   Jacobi sweep-count floor). PERF_NOTES round-3 session D.
     approx_topk: bool = False    # True = TPU approx_max_k for the k1/seed
     #   selections instead of the reference's exact argsort.
     #   A/B on 200 synthetic pairs at inlier rates 0.05-0.4 (tools/ab_topk,
@@ -66,14 +69,19 @@ class SC2PCRConfig:
     bf16_power: bool = False     # run the [N, N] confidence power iteration
     #   with a bf16 compatibility matrix (f32 accumulation): halves the
     #   dominant HBM traffic of sc2_pcr's setup (20 matvecs re-reading a
-    #   100 MB f32 matrix at N=5000). Off until the on-TPU RR A/B.
-    chunk_topk: int = 0          # >0 = two-level EXACT top-k for the k1
+    #   100 MB f32 matrix at N=5000). Stays OFF: the on-TPU A/B
+    #   (proto_reg_opt) measured 8.91 vs 8.79 ms/call — no gain (the
+    #   matvecs overlap the serial consensus chain), so f32 parity wins.
+    chunk_topk: int = 1000       # >0 = two-level EXACT top-k for the k1
     #   column selection: per-chunk lax.top_k(k1) then top-k over the
     #   C*k1 candidates. Same value-multiset as the full-row top_k by
     #   construction (every global top-k1 element is top-k1 within its
     #   chunk), but sorts rows of `chunk`/`C*k1` instead of N — the
     #   full-row variadic sort is ~2 ms/pair at [S=1000, N=5000]. Value
     #   is the chunk length (must divide max_points); 0 = plain top_k.
+    #   Default 1000 after the on-TPU A/B (proto_reg_opt: 8.79 -> 8.21
+    #   ms/call at chunk=1000, identical poses; chunk=500 only 8.60).
+    #   Inert when max_points % chunk != 0 (falls back to plain top_k).
 
     @property
     def num_seeds(self) -> int:
