@@ -84,7 +84,12 @@ def accuracy(cfg, srcs, tgts, Ts):
 
 def main():
     srcs, tgts, Ts = make_bank()
-    base = SC2PCRConfig(max_points=N, seed_cap=S)
+    # "base" is pinned to the PRE-session-D defaults (Jacobi Kabsch,
+    # full-row exact top_k, f32 power iteration) — SC2PCRConfig's own
+    # defaults have since flipped to the A/B winners, so relying on them
+    # here would silently compare each knob against itself.
+    base = SC2PCRConfig(max_points=N, seed_cap=S,
+                        qcp_kabsch=False, chunk_topk=0, bf16_power=False)
     variants = {
         "base": base,
         "qcp": dataclasses.replace(base, qcp_kabsch=True),
@@ -95,6 +100,7 @@ def main():
         "bf16pow": dataclasses.replace(base, bf16_power=True),
         "all": dataclasses.replace(base, qcp_kabsch=True, chunk_topk=500,
                                    bf16_power=True),
+        "default": SC2PCRConfig(max_points=N, seed_cap=S),
     }
     for name, cfg in variants.items():
         ms = wall(cfg, srcs, tgts)
