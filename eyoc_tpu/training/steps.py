@@ -133,6 +133,12 @@ class StepConfig:
     jitter_sigma: float = 0.01
     axis_name: Optional[str] = None   # set to "dp" under shard_map
     eval_sample_points: int = 5000
+    # --downsample_single: keep this fraction of each cloud's voxels before
+    # the eval-time sample+match. The reference parses the flag
+    # (scripts/test_kitti.py:251,289) but never consumes it (verified: no
+    # other reference to it in the tree) — we implement its evident intent
+    # (single-cloud ratio subsampling, FCGF lineage) so the flag is live.
+    downsample_single: float = 1.0
     # which metric loss the trainer uses (reference trainer registry,
     # train.py:35-51)
     loss_kind: str = "hardest_contrastive"
@@ -504,6 +510,10 @@ class StepBuilder:
             k0, k1, k2 = jax.random.split(key, 3)
 
             def sample(xk, fk, mk, kk):
+                if c.downsample_single < 1.0:
+                    kk, kd = jax.random.split(kk)
+                    mk = mk & (jax.random.uniform(kd, mk.shape)
+                               < c.downsample_single)
                 noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
                 sel = _random_subset(noise, n_pts)
                 ok = jnp.take(mk, sel)
@@ -540,6 +550,10 @@ class StepBuilder:
             k0, k1, k2 = jax.random.split(key, 3)
 
             def sample(xk, fk, mk, kk):
+                if c.downsample_single < 1.0:
+                    kk, kd = jax.random.split(kk)
+                    mk = mk & (jax.random.uniform(kd, mk.shape)
+                               < c.downsample_single)
                 noise = jnp.where(mk, jax.random.uniform(kk, mk.shape), 2.0)
                 sel = _random_subset(noise, n_pts)
                 ok = jnp.take(mk, sel)

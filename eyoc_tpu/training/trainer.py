@@ -81,6 +81,7 @@ def build_step_config(config: Config, spec, *, axis_name=None,
         hit_ratio_thresh=config.hit_ratio_thresh,
         normalize_feature=config.normalize_feature,
         eval_sample_points=config.eval_sample_points,
+        downsample_single=float(config.get("downsample_single", 1.0)),
         triplet_num_pos=config.triplet_num_pos * config.batch_size,
         triplet_num_rand=config.triplet_num_rand * config.batch_size,
         iter_size=config.iter_size,

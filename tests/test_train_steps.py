@@ -123,6 +123,27 @@ class TestEvalSteps:
         assert out["T_est"].shape == (4, 4)
         assert np.isfinite(float(out["rte"]))
 
+    def test_downsample_single_affects_results(self, setup):
+        """--downsample_single must be live: it thins each cloud's valid
+        voxel pool before the eval sample, so the sampled valid-point count
+        (and the estimated pose) changes vs the default 1.0."""
+        cfg, spec, state = setup
+        batch = make_batch(cfg, n_pairs=1, dist=1.0)
+        key = jax.random.PRNGKey(5)
+
+        def run(ds):
+            builder = tiny_builder(cfg, spec, downsample_single=ds)
+            embed = builder.make_embed_step()
+            register = builder.make_register_step(use_ransac=False)
+            emb = embed(state.params, state.bn_state, batch)
+            return np.asarray(register(*emb, key))
+
+        T_full = run(1.0)
+        T_ds = run(0.3)
+        assert np.isfinite(T_ds).all()
+        # a 70% voxel drop must perturb the sampled correspondence set
+        assert not np.allclose(T_full, T_ds, atol=1e-6)
+
     def test_test_step_ransac(self, setup):
         cfg, spec, state = setup
         builder = tiny_builder(cfg, spec)
