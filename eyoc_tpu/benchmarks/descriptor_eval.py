@@ -123,11 +123,17 @@ class ThreeDLoMatchPklLoader:
     (requires torch)."""
 
     def __init__(self, root: str, pkl_path: str, descriptor: str = "fcgf",
-                 num_node: int = 5000):
+                 num_node: int = 5000, seed: int = 51):
         import pickle
 
         assert descriptor in ("fcgf", "fpfh", "predator")
         self.root, self.descriptor, self.num_node = root, descriptor, num_node
+        # determinism: the reference pins set_seed(51) incl. cudnn
+        # (reference scripts/SC2_PCR/benchmark_utils.py:27-37); the predator
+        # importance subsampling below is the only stochastic step here and
+        # is keyed per (seed, pair index) so runs are bit-identical
+        # regardless of evaluation order
+        self.seed = seed
         with open(pkl_path, "rb") as f:
             self.infos = pickle.load(f)
 
@@ -150,12 +156,14 @@ class ThreeDLoMatchPklLoader:
             sal = d["saliency"].numpy().ravel()
             ovl = d["overlaps"].numpy().ravel()
 
+            rng = np.random.default_rng([self.seed, i])
+
             def pick(x, f, score):
                 if len(x) <= self.num_node:
                     return x, f
                 p = score / score.sum()
-                idx = np.random.choice(len(x), self.num_node,
-                                       replace=False, p=p)
+                idx = rng.choice(len(x), self.num_node,
+                                 replace=False, p=p)
                 return x[idx], f[idx]
 
             x0, f0 = pick(pcd[:n_src], feats[:n_src], sal[:n_src] * ovl[:n_src])
@@ -181,7 +189,8 @@ class ThreeDLoMatchPklLoader:
 
 def eval_3dmatch(root: str, dataset: str = "3DMatch",
                  descriptor: str = "fcgf", scenes=None, num_pairs: int = -1,
-                 gt_benchmark_folder: str | None = None):
+                 gt_benchmark_folder: str | None = None,
+                 use_icp: bool = False):
     """Scene-grouped 3DMatch evaluation (reference test_3DMatch.py:82-160):
     per-scene stats, RE/TE averaged over the successful pairs of each
     scene, Mean Reg Recall = mean over SCENES of per-scene RR; plus the
@@ -195,7 +204,7 @@ def eval_3dmatch(root: str, dataset: str = "3DMatch",
     for scene in scenes:
         loader = ThreeDMatchSceneLoader(root, scene, descriptor)
         res = eval_descriptor_pairs(loader, dataset, num_pairs,
-                                    collect_poses=all_poses)
+                                    collect_poses=all_poses, use_icp=use_icp)
         per_scene.append(dict(scene=scene, **res))
         pair_rr_num += res["rr"] * res["n"] / 100.0
         pair_n += res["n"]
@@ -251,11 +260,19 @@ def classification_metrics(pred_labels, gt_labels):
 
 def eval_descriptor_pairs(loader, dataset: str = "KITTI",
                           num_pairs: int = -1, log_every: int = 50,
-                          collect_poses: list | None = None):
-    """Run the full per-pair protocol (reference test_KITTI.py:18-102)."""
+                          collect_poses: list | None = None,
+                          use_icp: bool = False):
+    """Run the full per-pair protocol (reference test_KITTI.py:18-102).
+
+    use_icp: point-to-point ICP post-refinement of the estimated pose on
+    the keypoint clouds at 0.10 m correspondence distance (reference
+    `icp_refine`, scripts/SC2_PCR/benchmark_utils.py:40-56, enabled by
+    test_KITTI.py:127 `--use_icp`); device-resident via
+    registration/icp.py instead of Open3D."""
     import jax
     import jax.numpy as jnp
 
+    from eyoc_tpu.registration.icp import icp_point_to_point
     from eyoc_tpu.registration.sc2pcr import SC2PCRConfig, sc2_pcr_estimator
 
     preset = PRESETS[dataset]
@@ -285,6 +302,13 @@ def eval_descriptor_pairs(loader, dataset: str = "KITTI",
             jnp.asarray(m0),
             jnp.asarray(pad(x1, cap, 3)), jnp.asarray(pad(f1, cap, f1.shape[1])),
             jnp.asarray(m1), cfg)
+        if use_icp:
+            # Open3D registration_icp defaults to max_iteration=30
+            trans, _, _ = icp_point_to_point(
+                jnp.asarray(pad(x0, cap, 3)), jnp.asarray(m0),
+                jnp.asarray(pad(x1, cap, 3)), jnp.asarray(m1),
+                trans, max_corr_dist=0.10, iterations=30,
+                knn_tile=min(2048, cap))
         trans = np.asarray(trans)
         if collect_poses is not None:
             collect_poses.append(trans)
@@ -343,19 +367,29 @@ def main(argv=None):
     p.add_argument("--gt_benchmark_folder", default="",
                    help="per-scene gt.log+gt.info tree for the Redwood "
                         "trajectory benchmark (reference benchmark_predator)")
+    p.add_argument("--use_icp", action="store_true",
+                   help="ICP post-refinement of each estimated pose "
+                        "(reference test_KITTI.py:127, benchmark_utils.py:"
+                        "40-56)")
+    p.add_argument("--seed", default=51, type=int,
+                   help="determinism seed (reference set_seed(51), "
+                        "benchmark_utils.py:27-37); keys the predator "
+                        "importance subsampling per pair")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(asctime)s %(message)s")
+    np.random.seed(args.seed)
     if args.scene_protocol:
         return eval_3dmatch(args.root, args.dataset, args.descriptor,
                             num_pairs=args.num_pairs,
-                            gt_benchmark_folder=args.gt_benchmark_folder or None)
+                            gt_benchmark_folder=args.gt_benchmark_folder or None,
+                            use_icp=args.use_icp)
     if args.lomatch_pkl:
         loader = ThreeDLoMatchPklLoader(args.root, args.lomatch_pkl,
-                                        args.descriptor)
+                                        args.descriptor, seed=args.seed)
         poses: list = []
         res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs,
-                                    collect_poses=poses)
+                                    collect_poses=poses, use_icp=args.use_icp)
         if args.gt_benchmark_folder:
             from eyoc_tpu.benchmarks.gtlog import benchmark_trajectories
 
@@ -363,7 +397,8 @@ def main(argv=None):
                 np.asarray(poses), args.gt_benchmark_folder, log=logging.info)
     else:
         loader = NpzPairLoader(args.root, args.descriptor)
-        res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs)
+        res = eval_descriptor_pairs(loader, args.dataset, args.num_pairs,
+                                    use_icp=args.use_icp)
     logging.info(
         f"RR {res['rr']:.2f}%  RE {res['re_deg']:.3f} deg  "
         f"TE {res['te_cm']:.2f} cm  model {res['model_time']*1e3:.1f} ms/pair "

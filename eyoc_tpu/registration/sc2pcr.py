@@ -82,6 +82,15 @@ class SC2PCRConfig:
     #   Default 1000 after the on-TPU A/B (proto_reg_opt: 8.79 -> 8.21
     #   ms/call at chunk=1000, identical poses; chunk=500 only 8.60).
     #   Inert when max_points % chunk != 0 (falls back to plain top_k).
+    refine_unroll: int = 0       # >0 = replace the IRLS post-refinement
+    #   while_loop (reference's <=20 iterations with inlier-count early
+    #   stop, SC2_PCR.py:238-278) by that many UNROLLED straight-line
+    #   iterations with no convergence check. Accuracy-safe upward: IRLS
+    #   iterations past the fixpoint are idempotent. Stays 0 after the
+    #   on-TPU A/B (proto_reg_opt, round-3: default-while 7.61 ms/call vs
+    #   unroll4/6/10 = 7.86/8.07/8.37, identical accuracy) — the early
+    #   exit beats straight-line code here because IRLS typically
+    #   converges in <4 iterations at bench inlier rates.
 
     @property
     def num_seeds(self) -> int:
@@ -204,6 +213,20 @@ def _post_refine(cfg, trans, src, tgt, valid, it_num: int = 20):
     """IRLS refinement with inlier-count convergence (reference :238-278)."""
     thr = 0.10 if cfg.inlier_threshold == 0.10 else 1.2
     solve = kabsch_qcp if cfg.qcp_kabsch else kabsch
+
+    if cfg.refine_unroll > 0:
+        def one(trans):
+            warped = transform_points(src, trans)
+            dist = jnp.linalg.norm(warped - tgt, axis=-1)
+            inlier = (dist < thr) & valid
+            w = (1.0 / (1.0 + (dist / thr) ** 2)) * inlier
+            new_trans = solve(src[None], tgt[None], w[None])[0]
+            any_in = jnp.sum(inlier.astype(jnp.int32)) > 0
+            return jnp.where(any_in, new_trans, trans)
+
+        for _ in range(cfg.refine_unroll):
+            trans = one(trans)
+        return trans
 
     def cond(state):
         _, prev, cur, it = state

@@ -23,7 +23,14 @@ order (sparse/brick_conv.py:148-151), so kernels copy through with no
 permutation. ME stores kernel_size=1 convolutions as 2-D [Ci, Co]; both
 MinkowskiConvolution and MinkowskiConvolutionTranspose use the SAME
 [K^3, Ci, Co] layout (the transpose is the adjoint with transposed kernel
-maps, matching conv_up's `in[(v - off)/2] * W[off]` semantics).
+maps, matching conv_up's `in[(v - off)/2] * W[off]` semantics). Conv bias
+(only `final` in the reference models) is stored [1, out_channels] in ME
+v0.5; import accepts that or flat [Co], export emits the ME shape.
+
+The expected ME schema for ResUNetBN2C (key set + shapes) is hand-derived
+from the reference source in tests/test_import_torch.py
+(`resunetbn2c_expected_schema`) and both directions are checked against it
+independently of this module's own round trip.
 
 CLI:
     python -m eyoc_tpu.tools.import_torch_ckpt \
@@ -182,9 +189,15 @@ def torch_state_dict_to_params(
     bn: dict = {}
     for name, tmpl in params_template.items():
         if name == "final":
+            # ME v0.5 MinkowskiConvolutionBase stores the bias as
+            # [1, out_channels]; accept both that and a flat [out_channels]
+            b = _get(sd, "final.bias").reshape(-1)
+            if b.shape != np.shape(tmpl["b"]):
+                raise ImportError_(
+                    f"final.bias: {b.shape} != expected {np.shape(tmpl['b'])}")
             params["final"] = {
                 "w": _conv_kernel(sd, "final.kernel", tmpl["w"][None])[0],
-                "b": _get(sd, "final.bias"),
+                "b": b,
             }
         elif name.startswith("conv"):
             params[name] = _conv_kernel(sd, f"{name}.kernel", np.asarray(tmpl))
@@ -225,7 +238,8 @@ def params_to_torch_state_dict(params, bn_state) -> Dict[str, np.ndarray]:
     for name, val in params.items():
         if name == "final":
             sd["final.kernel"] = np.asarray(val["w"])
-            sd["final.bias"] = np.asarray(val["b"])
+            # ME v0.5 bias layout is [1, out_channels]
+            sd["final.bias"] = np.asarray(val["b"]).reshape(1, -1)
         elif name.startswith("conv"):
             w = np.asarray(val)
             sd[f"{name}.kernel"] = w[0] if w.shape[0] == 1 else w

@@ -21,7 +21,7 @@ from eyoc_tpu.sparse import morton, scan
 
 def make_inputs(P, cap, n_unique, seed=0):
     rng = np.random.default_rng(seed)
-    keys = np.sort(rng.choice(np.arange(1, 1 << 28), size=n_unique, replace=False))
+    keys = np.sort(rng.choice(1 << 28, size=n_unique, replace=False) + 1)
     reps = rng.multinomial(P - n_unique, np.ones(n_unique) / n_unique) + 1
     key_s = np.repeat(keys, reps).astype(np.int32)[:P]
     idx_s = np.arange(P, dtype=np.int32)
@@ -53,10 +53,16 @@ def compact_sort(key_s, idx_s, cap):
 
 
 def wall(fn, key_s, idx_s, cap, K=64, n=4):
+    # Carry dependence via optimization_barrier: an int trick like
+    # `key_s ^ (c & 0)` gets algebraically folded to `key_s`, making the
+    # body loop-invariant and hoistable (the A/B then measures nothing).
     def run(c):
         def body(i, c):
-            k, s = fn(key_s ^ (c & 0), idx_s, cap)
-            return c | k[0] | s[0]
+            # barrier is value-identity, so every iteration does bit-equal
+            # work, but k_in structurally depends on the carried c
+            k_in, c = jax.lax.optimization_barrier((key_s, c))
+            k, s = fn(k_in, idx_s, cap)
+            return c | (k[0] & 1) | (s[0] & 1)
         return jax.lax.fori_loop(0, K, body, c)
 
     f = jax.jit(run)

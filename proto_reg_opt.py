@@ -1,14 +1,20 @@
 """A/B the SC2-PCR reg-path optimizations on TPU (run when axon is up):
 
-  base       exact top-k, Jacobi kabsch, f32 power iteration (current default)
-  qcp        qcp_kabsch=True (Newton-on-quartic kabsch, shorter serial chain)
-  topk1.0    approx_max_k(recall_target=1.0) (PartialReduce w/ exact guarantee)
-  topk0.95   approx_max_k(recall_target=0.95)
-  bf16pow    bf16 compatibility matrix in the [N,N] power iteration
-  all        qcp + topk1.0 + bf16pow
+  base       PINNED pre-flip config: Jacobi kabsch, full-row exact top_k,
+             f32 power iteration, while-loop IRLS refine
+  qcp        base + qcp_kabsch=True (Newton-on-quartic, shorter serial chain)
+  topk1.0    base + approx_max_k(recall_target=1.0) (PartialReduce)
+  topk0.95   base + approx_max_k(recall_target=0.95)
+  chunk500/1000  base + two-level exact top-k at that chunk length
+  bf16pow    base + bf16 compatibility matrix in the [N,N] power iteration
+  all        qcp + chunk500 + bf16pow
+  default    the SHIPPED SC2PCRConfig defaults (qcp + chunk1000 as of r3-D)
+  def+ruN    default + refine_unroll=N (unrolled fixed-count IRLS refine
+             instead of the reference-shaped while_loop)
+  def+tk1.0  default but k1/seed selection via approx_max_k(recall 1.0)
 
 Prints wall ms/call (fori-chained, honest data dependence, one D2H at the
-end) and pose agreement vs base over a bank of synthetic outlier problems
+end) and pose accuracy vs GT over a bank of synthetic outlier problems
 at bench shapes (N=5000, S=1000).
 """
 
@@ -101,6 +107,11 @@ def main():
         "all": dataclasses.replace(base, qcp_kabsch=True, chunk_topk=500,
                                    bf16_power=True),
         "default": SC2PCRConfig(max_points=N, seed_cap=S),
+        "def+ru4": SC2PCRConfig(max_points=N, seed_cap=S, refine_unroll=4),
+        "def+ru6": SC2PCRConfig(max_points=N, seed_cap=S, refine_unroll=6),
+        "def+ru10": SC2PCRConfig(max_points=N, seed_cap=S, refine_unroll=10),
+        "def+tk1.0": SC2PCRConfig(max_points=N, seed_cap=S,
+                                  approx_topk=True, topk_recall=1.0),
     }
     for name, cfg in variants.items():
         ms = wall(cfg, srcs, tgts)
@@ -111,7 +122,8 @@ def main():
     # harder regime: low inlier rate
     srcs, tgts, Ts = make_bank(seed=7, inlier=0.07)
     print("--- inlier rate 0.07 ---")
-    for name in ("base", "all", "qcp", "topk1.0", "bf16pow"):
+    for name in ("base", "all", "qcp", "topk1.0", "bf16pow",
+                 "default", "def+ru4", "def+ru6", "def+tk1.0"):
         rr, te, re = accuracy(variants[name], srcs, tgts, Ts)
         print(f"{name:10s} RR {rr*100:5.1f}  medTE {te*100:6.2f} cm  "
               f"medRE {re:6.3f} deg", flush=True)

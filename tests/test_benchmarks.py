@@ -69,6 +69,55 @@ class TestHarness:
         assert res["te_cm"] < 60.0 and res["re_deg"] < 5.0
         assert res["precision"] > 0.5
 
+    def test_deterministic_repeat_runs(self, tmp_path):
+        """Two identical invocations must be bit-identical (the reference
+        pins set_seed(51) incl. cudnn, benchmark_utils.py:27-37)."""
+        make_pairs(tmp_path, n_pairs=2, noise=0.4)
+        args = ["--root", str(tmp_path), "--dataset", "KITTI",
+                "--descriptor", "fcgf", "--seed", "51"]
+        a, b = main(args), main(args)
+        for k in ("rr", "re_deg", "te_cm", "f1", "precision"):
+            assert a[k] == b[k], k
+
+    def test_use_icp_changes_pose(self, tmp_path):
+        """--use_icp must be live: on pairs where SC2-PCR lands near but
+        not exactly on GT (noisy descriptors + perturbed geometry), the
+        ICP refinement changes TE (reference test_KITTI.py:127)."""
+        rng = np.random.default_rng(3)
+        # perturb xyz1 so the exact-fixpoint pose differs from the ICP
+        # refinement target (pure noiseless geometry converges identically)
+        make_pairs(tmp_path, n_pairs=2, noise=0.5, seed=3)
+        for f in tmp_path.glob("pair_*.npz"):
+            d = dict(np.load(f))
+            d["xyz1"] = d["xyz1"] + rng.normal(
+                0, 0.05, d["xyz1"].shape).astype(np.float32)
+            np.savez(f, **d)
+        base = main(["--root", str(tmp_path), "--dataset", "KITTI",
+                     "--descriptor", "fcgf"])
+        icp = main(["--root", str(tmp_path), "--dataset", "KITTI",
+                    "--descriptor", "fcgf", "--use_icp"])
+        assert np.isfinite(icp["te_cm"])
+        assert icp["te_cm"] != base["te_cm"]
+
+    def test_predator_pick_deterministic(self):
+        """The predator importance subsample is keyed per (seed, index):
+        same loader state twice -> same subset."""
+        from eyoc_tpu.benchmarks.descriptor_eval import ThreeDLoMatchPklLoader
+
+        rng = np.random.default_rng(0)
+        loader = ThreeDLoMatchPklLoader.__new__(ThreeDLoMatchPklLoader)
+        loader.seed, loader.num_node = 51, 10
+        score = rng.random(50).astype(np.float32)
+        x = rng.normal(size=(50, 3)).astype(np.float32)
+
+        def pick_for(i):
+            r = np.random.default_rng([loader.seed, i])
+            p = score / score.sum()
+            return r.choice(len(x), loader.num_node, replace=False, p=p)
+
+        assert np.array_equal(pick_for(7), pick_for(7))
+        assert not np.array_equal(pick_for(7), pick_for(8))
+
 
 def _rand_pose(rng, max_t=1.0):
     axis = rng.normal(size=3)

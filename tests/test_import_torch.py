@@ -122,6 +122,165 @@ class TestRoundTrip:
         _tree_allclose(bn, lb)
 
 
+def _bn(prefix, c):
+    """MinkowskiBatchNorm wraps torch.nn.BatchNorm1d as `.bn`
+    (ME v0.5 MinkowskiBatchNorm.__init__), so its state-dict keys nest."""
+    return {
+        f"{prefix}.bn.weight": (c,),
+        f"{prefix}.bn.bias": (c,),
+        f"{prefix}.bn.running_mean": (c,),
+        f"{prefix}.bn.running_var": (c,),
+        f"{prefix}.bn.num_batches_tracked": (),
+    }
+
+
+def _block(prefix, c):
+    """BasicBlockBN (reference model/residual_block.py:9-56): conv1/norm1/
+    conv2/norm2, k=3 convs, no downsample (inplanes == planes throughout
+    ResUNet2), no conv biases (ME default bias=False)."""
+    d = {f"{prefix}.conv1.kernel": (27, c, c),
+         f"{prefix}.conv2.kernel": (27, c, c)}
+    d.update(_bn(f"{prefix}.norm1", c))
+    d.update(_bn(f"{prefix}.norm2", c))
+    return d
+
+
+def resunetbn2c_expected_schema(in_ch=1, n_out=32, k1=5):
+    """HAND-DERIVED MinkowskiEngine state-dict schema for ResUNetBN2C —
+    written from the reference source, independent of
+    params_to_torch_state_dict, so a drift in either the exporter's or the
+    importer's assumptions about ME serialization fails loudly here.
+
+    Sources:
+    - module tree + channels: reference model/resunet.py:30-140 (ResUNet2),
+      :206-209 (ResUNetBN2C CHANNELS [_,32,64,128,256],
+      TR_CHANNELS [_,64,64,64,128])
+    - kernel layouts: ME v0.5 MinkowskiConvolutionBase — [K^3, Ci, Co] for
+      kernel_volume > 1, 2-D [Ci, Co] when kernel_volume == 1 (conv1_tr and
+      final, both kernel_size=1, resunet.py:123-140);
+      MinkowskiConvolutionTranspose shares the [K^3, Ci, Co] layout
+    - bias: only `final` has bias=True (resunet.py:135-140); ME stores conv
+      bias as [1, out_channels]
+    - norm nesting: MinkowskiBatchNorm holds `self.bn = BatchNorm1d(...)`
+    """
+    CH = [None, 32, 64, 128, 256]
+    TR = [None, 64, 64, 64, 128]
+    d = {"conv1.kernel": (k1 ** 3, in_ch, CH[1])}
+    d.update(_bn("norm1", CH[1]))
+    d.update(_block("block1", CH[1]))
+    for lv in (2, 3, 4):
+        d[f"conv{lv}.kernel"] = (27, CH[lv - 1], CH[lv])
+        d.update(_bn(f"norm{lv}", CH[lv]))
+        d.update(_block(f"block{lv}", CH[lv]))
+    d["conv4_tr.kernel"] = (27, CH[4], TR[4])
+    d.update(_bn("norm4_tr", TR[4]))
+    d.update(_block("block4_tr", TR[4]))
+    d["conv3_tr.kernel"] = (27, CH[3] + TR[4], TR[3])
+    d.update(_bn("norm3_tr", TR[3]))
+    d.update(_block("block3_tr", TR[3]))
+    d["conv2_tr.kernel"] = (27, CH[2] + TR[3], TR[2])
+    d.update(_bn("norm2_tr", TR[2]))
+    d.update(_block("block2_tr", TR[2]))
+    d["conv1_tr.kernel"] = (CH[1] + TR[2], TR[1])   # k=1 -> 2-D
+    d["final.kernel"] = (TR[1], n_out)              # k=1 -> 2-D
+    d["final.bias"] = (1, n_out)                    # ME bias is [1, Co]
+    return d
+
+
+class TestMESchemaFixture:
+    """VERDICT r2 item 2: prove the import path against MinkowskiEngine's
+    *actual* serialization, independently of the repo's own exporter."""
+
+    def test_import_from_hand_written_schema(self):
+        """A state dict synthesized from the hand-derived ME schema (not
+        from params_to_torch_state_dict) must import cleanly, and every
+        tensor must land in its leaf bit-identically (no permutation, no
+        transpose): the engine's tap semantics for the identical [K^3,Ci,Co]
+        layout are pinned separately by the independent dense oracles in
+        tests/test_sparse.py (test_conv_same/down/up index taps via
+        ((dx+1)*3+(dy+1))*3+(dz+1), z-fastest — ME's region iterator
+        order)."""
+        schema = resunetbn2c_expected_schema()
+        rng = np.random.default_rng(5)
+        sd = {k: rng.standard_normal(s).astype(np.float32) if s else
+              np.asarray(7, np.int64) for k, s in schema.items()}
+        spec = load_model("ResUNetBN2C")
+        tp, tb = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
+        tp = jax.tree_util.tree_map(np.asarray, tp)
+        tb = jax.tree_util.tree_map(np.asarray, tb)
+        params, bn = torch_state_dict_to_params(sd, tp, tb)
+
+        # spot-check identity landings across every mapping rule
+        np.testing.assert_array_equal(params["conv1"], sd["conv1.kernel"])
+        np.testing.assert_array_equal(params["conv4_tr"],
+                                      sd["conv4_tr.kernel"])
+        np.testing.assert_array_equal(          # k=1: 2-D -> [1, Ci, Co]
+            params["conv1_tr"], sd["conv1_tr.kernel"][None])
+        np.testing.assert_array_equal(params["final"]["w"],
+                                      sd["final.kernel"])
+        np.testing.assert_array_equal(          # [1, Co] bias flattens
+            params["final"]["b"], sd["final.bias"].reshape(-1))
+        np.testing.assert_array_equal(params["block3"]["conv2"],
+                                      sd["block3.conv2.kernel"])
+        np.testing.assert_array_equal(params["norm2"]["scale"],
+                                      sd["norm2.bn.weight"])
+        np.testing.assert_array_equal(bn["block4_tr"]["norm1"].var,
+                                      sd["block4_tr.norm1.bn.running_var"])
+        # full coverage: every float tensor of the state dict must appear
+        # bit-identically somewhere in the imported tree (catches silent
+        # drops and any value-mangling rule)
+        leaves = [np.asarray(x).ravel() for x in
+                  jax.tree_util.tree_leaves((params, bn))]
+        pool = {}
+        for lf in leaves:
+            pool.setdefault(lf.size, []).append(lf)
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            vr = np.asarray(v, np.float32).ravel()
+            assert any(vr.shape == c.shape and (vr == c).all()
+                       for c in pool.get(vr.size, [])), f"{k} not found"
+
+    def test_exporter_emits_exact_schema(self):
+        """params_to_torch_state_dict must emit exactly the hand-derived
+        ME key set AND shapes — so our exports load into the reference's
+        torch model with strict=True."""
+        schema = resunetbn2c_expected_schema()
+        spec = load_model("ResUNetBN2C")
+        params, bn = init_unet(spec, jax.random.PRNGKey(1), 1, 32, 5)
+        sd = params_to_torch_state_dict(params, bn)
+        assert set(sd) == set(schema), (
+            f"missing={sorted(set(schema) - set(sd))} "
+            f"extra={sorted(set(sd) - set(schema))}")
+        for k, shape in schema.items():
+            assert np.shape(sd[k]) == shape, (
+                f"{k}: {np.shape(sd[k])} != {shape}")
+
+    def test_asymmetric_kernel_passthrough(self):
+        """Kernels whose value encodes (tap, ci, co) import with zero
+        permutation — any transpose/reorder 'fix' in the importer breaks
+        this, and the tap->offset semantics are independently pinned by
+        the dense-conv oracles."""
+        schema = resunetbn2c_expected_schema()
+        spec = load_model("ResUNetBN2C")
+        tp, tb = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
+        tp = jax.tree_util.tree_map(np.asarray, tp)
+        tb = jax.tree_util.tree_map(np.asarray, tb)
+        t, ci, co = np.meshgrid(np.arange(27), np.arange(64),
+                                np.arange(128), indexing="ij")
+        coded = (t * 10000 + ci * 100 + co).astype(np.float32)
+        sd = {k: np.zeros(s, np.float32) if s else np.asarray(0, np.int64)
+              for k, s in schema.items()}
+        sd["conv3.kernel"] = coded            # [27, 64, 128]
+        params, _ = torch_state_dict_to_params(sd, tp, tb)
+        got = np.asarray(params["conv3"])
+        assert got.shape == (27, 64, 128)
+        np.testing.assert_array_equal(got, coded)
+        # e.g. tap 13 (the center: (dx,dy,dz)=(0,0,0) at z-fastest flat
+        # index ((0+1)*3+(0+1))*3+(0+1) = 13) stayed at row 13
+        assert got[13, 0, 0] == 130000.0
+
+
 class TestGoldenFeatures:
     def _features(self, params, bn, spec):
         rng = np.random.RandomState(0)
