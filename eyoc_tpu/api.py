@@ -117,7 +117,7 @@ def extract_features(
         feats, _ = apply_unet(
             spec, params, bn_state, pyr, in_feats,
             conv1_kernel_size=conv1_kernel_size, training=False,
-            normalize_feature=normalize_feature)
+            normalize_feature=normalize_feature, n_clouds=1)
         eff = pyr.vox_masks[0]
         return vox.xyz, eff, feats
 

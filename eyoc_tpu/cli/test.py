@@ -161,6 +161,30 @@ def main(config, num_pairs=-1, dp=1):
             d = jnp.linalg.norm(warped - jnp.take(x1, nn, axis=0), axis=-1)
             return jnp.where(m0, d, jnp.nan)
 
+    # out-of-window accounting: the device voxel engine silently drops
+    # points outside the +-2^(bits-1) lattice window (sparse/morton.py
+    # encode -> INVALID_KEY). At the default eval window z=7 this never
+    # fires on unrotated LiDAR, but a user evaluating rotated/augmented
+    # data must SEE the loss, not guess it — so measure it per pair (host
+    # numpy, off the device critical path) and report.
+    from eyoc_tpu.config import window_bits_of
+    from eyoc_tpu.sparse import morton as _morton
+    wbits = window_bits_of(config)
+    shift = np.asarray(_morton.shift(wbits))
+    gdims = np.asarray(_morton.dims(wbits))
+    vs = float(config.voxel_size)
+
+    def window_dropped(batch):
+        lost = tot = 0
+        for xyz, n in ((batch.xyz0, batch.n0), (batch.xyz1, batch.n1)):
+            for b in range(xyz.shape[0]):
+                c = np.floor(np.asarray(xyz[b][: int(n[b])]) / vs
+                             ).astype(np.int64) + shift
+                lost += int(np.sum(np.any((c < 0) | (c >= gdims), axis=-1)))
+                tot += int(n[b])
+        return lost, tot
+
+    drop_meter = AverageMeter()
     nn_dists = []
     rte_thresh, rre_thresh = config.rte_thresh, config.rre_thresh
     success_meter, rte_meter, rre_meter = AverageMeter(), AverageMeter(), AverageMeter()
@@ -177,6 +201,15 @@ def main(config, num_pairs=-1, dp=1):
         data_timer.tic()
         batch = next(it)
         data_timer.toc()
+
+        lost, tot = window_dropped(batch)
+        drop_meter.update(lost / max(tot, 1))
+        if lost and drop_meter.count == 1:
+            logging.warning(
+                "%.2f%% of raw points fall outside the voxel window "
+                "(window_bits=%s) and are silently dropped — widen "
+                "--window_bits if this data is rotated/augmented",
+                100.0 * lost / tot, wbits)
 
         if dp > 1:
             feat_timer.tic()
@@ -244,6 +277,10 @@ def main(config, num_pairs=-1, dp=1):
             f"NN-dist under GT: mean {alld.mean():.3f} m, "
             f"median {np.median(alld):.3f} m, "
             f"<0.3 m: {100.0 * (alld < 0.3).mean():.1f} %")
+    if drop_meter.avg > 0:
+        logging.warning(
+            f"out-of-window dropped points: {drop_meter.avg * 100:.2f}% "
+            f"average over {drop_meter.count} batches (window_bits={wbits})")
     logging.info(
         f"RTE: {rte_meter.avg:.4f}, var: {rte_meter.var:.6f}, "
         f"RRE: {rre_meter.avg:.4f}, var: {rre_meter.var:.6f}, "

@@ -545,9 +545,18 @@ class SyntheticPairDataset(PairDatasetBase):
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
         return ((pts - o) @ R).astype(np.float32)
 
+    def _item_dist(self, idx, rng):
+        """Sensor separation (m) for item `idx`; the continuous subclass
+        draws it from the extension schedule."""
+        return float(self.dist)
+
+    # scene seed base: __getitem__(idx) builds scene `seed0 + idx` (the
+    # continuous subclass bumps seed0 each epoch for fresh scenes)
+    seed0 = 1000
+
     def __getitem__(self, idx):
-        rng = np.random.default_rng(1000 + idx)
-        d = self.dist
+        rng = np.random.default_rng(self.seed0 + idx)
+        d = self._item_dist(idx, rng)
         # boxes centered between the two poses so both scans see structure
         boxes, sigma = self.make_boxes(rng, keepout=((-d / 2, 0), (d / 2, 0)))
         boxes[:, :, 0] += d / 2
@@ -578,7 +587,8 @@ class SyntheticPairDataset(PairDatasetBase):
 
         def scan(pose, pyaw):
             pts = self.raycast_scan(rng, pose[:3, 3], pyaw, boxes,
-                                    n_az=n_az, terrain_seed=7000 + idx,
+                                    n_az=n_az,
+                                    terrain_seed=self.seed0 + 6000 + idx,
                                     box_sigma=sigma)
             if len(pts) > self.n_points:
                 pts = pts[rng.permutation(len(pts))[: self.n_points]]
@@ -595,9 +605,81 @@ class SyntheticPairDataset(PairDatasetBase):
         )
         return {
             "xyz0": xyz0, "xyz1": xyz1, "T_gt": trans,
-            "frame_distance": max(1, int(self.dist)),
+            "frame_distance": max(1, int(round(d))),
             "search_radius": search, "meta": (0, idx, idx + 1),
         }
+
+
+class SyntheticContinuousPairDataset(SyntheticPairDataset):
+    """EYOC progressive extension over synthetic raycast scenes.
+
+    The metric analog of the Continuous frame-interval datasets (reference
+    lib/data_loaders.py:1583-1650): `pair_min_dist`/`pair_max_dist` are
+    reinterpreted as FIRST/LAST of a max-sensor-separation schedule in
+    meters; `update_extension_distance(epoch)` grows MAX_DIST linearly over
+    `max_epoch` (every `extension_steps`-th of the run, 0 = every epoch) and
+    each item then draws d ~ U[1, MAX_DIST]. Base mode ⇔ MAX_DIST <= 1
+    (near-identity pairs, identity-pose labels). Scenes are reseeded every
+    extension so epochs do not replay identical geometry.
+
+    Exists so the EYOC loop (base-train → self-labeled extension) can be
+    demonstrated end-to-end without data on disk — see
+    experiments/extension_demo.py.
+    """
+
+    def __init__(self, phase, config, random_rotation=True,
+                 random_scale=False, n_pairs=None, n_points=None):
+        if n_pairs is None:
+            n_pairs = int(config.get("synthetic_pairs_per_epoch", 32))
+        if n_points is None:
+            n_points = int(config.get("synthetic_points", 65536))
+        super().__init__(phase, config, random_rotation, random_scale,
+                         n_pairs=n_pairs, n_points=n_points,
+                         dist=config.pair_min_dist)
+        self.FIRST_DIST = config.pair_min_dist
+        self.LAST_DIST = config.pair_max_dist
+        if phase == "train":
+            self.MAX_DIST = self.FIRST_DIST
+        else:
+            # val/test evaluate at the final distance regime
+            self.MAX_DIST = self.LAST_DIST
+        self.dist = float(self.MAX_DIST)
+        self.max_epoch = config.max_epoch - 1
+        self.last_altered_epoch = 0
+        self._last_reseed_epoch = 0
+        if config.extension_steps > 0:
+            self.extension_epoch_interval = int(
+                config.max_epoch / config.extension_steps)
+        else:
+            self.extension_epoch_interval = 1
+
+    def update_extension_distance(self, epoch):
+        # fresh scenes once per extension interval (the reference rebuilds
+        # its pair list only on extension, lib/data_loaders.py:1627-1647;
+        # within a stage the same pairs recur with fresh augmentation) —
+        # raycast scene generation is seconds per pair on a 1-vCPU host,
+        # so per-epoch regeneration would starve the chip
+        if epoch - self._last_reseed_epoch >= self.extension_epoch_interval:
+            self.seed0 = 1000 + 100003 * epoch
+            self._last_reseed_epoch = epoch
+        if not (epoch - self.last_altered_epoch
+                >= self.extension_epoch_interval):
+            return False
+        expected = int((self.LAST_DIST - self.FIRST_DIST)
+                       * (epoch / max(self.max_epoch, 1))) + self.FIRST_DIST
+        if expected == self.MAX_DIST:
+            return False
+        self.MAX_DIST = expected
+        self.last_altered_epoch = epoch
+        return self.MAX_DIST
+
+    def is_base_dataset(self):
+        return self.MAX_DIST <= 1
+
+    def _item_dist(self, idx, rng):
+        if self.MAX_DIST <= 1 or self.phase != "train":
+            return float(self.MAX_DIST)
+        return float(rng.uniform(1.0, float(self.MAX_DIST)))
 
 
 # -------------------------------------------------- legacy KITTI (FCGF-era)
@@ -817,5 +899,6 @@ ALL_DATASETS = [
     KittiContinuousFramePairDataset, NuscenesContinuousFramePairDataset,
     WaymoContinuousFramePairDataset, KITTIPairDataset, KITTINMPairDataset,
     ThreeDMatchPairDataset, SyntheticPairDataset,
+    SyntheticContinuousPairDataset,
 ]
 dataset_str_mapping = {d.__name__: d for d in ALL_DATASETS}

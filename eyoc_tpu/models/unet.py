@@ -156,7 +156,7 @@ def init_unet(
 
 
 def _norm(kind, p, s, fb, level, *, training, momentum, axis_name,
-          out_dtype=None):
+          out_dtype=None, n_clouds=None):
     """fb [NB, 8C] any float dtype -> (y [NB, 8C] out_dtype, new_state).
 
     Stats semantics match MinkowskiBatchNorm / InstanceNorm over valid
@@ -170,10 +170,17 @@ def _norm(kind, p, s, fb, level, *, training, momentum, axis_name,
             momentum=momentum, training=training, axis_name=axis_name,
             out_dtype=out_dtype,
         )
-    # IN: statistics over the whole folded batch as a single instance
-    # (matches the previous engine's behavior; per-cloud IN would need the
-    # static segment count threaded through — the IN model variants are
-    # registry alternates, not published configurations).
+    # IN: MinkowskiInstanceNorm is PER-CLOUD (reference model/common.py:
+    # 8-10). With the static cloud count threaded through (n_clouds),
+    # statistics are per (cloud, channel) via the level's bseg row map; no
+    # cross-device reduction (each cloud lives on one device under dp).
+    if n_clouds is not None:
+        y = masked_instance_norm_fb(
+            fb, occ8, level.bseg, n_clouds, p["scale"], p["bias"],
+            out_dtype=out_dtype)
+        return y, None
+    # Fallback (n_clouds unknown): whole-fold statistics — exact only at
+    # B == 1; callers in this repo always pass n_clouds.
     from eyoc_tpu.sparse.norm import BatchNormState as _BNS
     dummy = _BNS(jnp.zeros_like(p["scale"]), jnp.ones_like(p["scale"]))
     y, _ = masked_batch_norm_fb(
@@ -192,7 +199,7 @@ def _bn_fold(p, s, eps: float = 1e-5):
 
 
 def _block(kind, p, s, fb, level, *, training, momentum, axis_name,
-           folded=False):
+           folded=False, n_clouds=None):
     """Residual BasicBlock (reference model/residual_block.py:9-77):
     conv3-norm-relu-conv3-norm + skip, relu. fb [NB, 8C] bf16.
 
@@ -212,12 +219,12 @@ def _block(kind, p, s, fb, level, *, training, momentum, axis_name,
     out = conv_same(fb, level, p["conv1"], mask_output=False)
     out, s1 = _norm(kind, p["norm1"], s["norm1"] if s else None, out, level,
                     training=training, momentum=momentum, axis_name=axis_name,
-                    out_dtype=brick_conv.DTYPE)
+                    out_dtype=brick_conv.DTYPE, n_clouds=n_clouds)
     out = jax.nn.relu(out)
     out = conv_same(out, level, p["conv2"], mask_output=False)
     out, s2 = _norm(kind, p["norm2"], s["norm2"] if s else None, out, level,
                     training=training, momentum=momentum, axis_name=axis_name,
-                    out_dtype=brick_conv.DTYPE)
+                    out_dtype=brick_conv.DTYPE, n_clouds=n_clouds)
     out = jax.nn.relu(out + residual)
     C = out.shape[1] // 8
     out = out * occ_mask(level, C, out.dtype)
@@ -245,6 +252,7 @@ def apply_unet(
     axis_name: str | None = None,
     normalize_feature: bool = True,
     fold_bn: bool = True,
+    n_clouds: int | None = None,
 ):
     """Forward pass over a BrickPyramid (brick engine, sparse/brick_conv.py).
 
@@ -270,7 +278,8 @@ def apply_unet(
         y, s = _norm(spec.norm_type, params[name],
                      bn_state.get(name) if bn_state else None, fb, level,
                      training=training, momentum=bn_momentum,
-                     axis_name=axis_name, out_dtype=out_dtype)
+                     axis_name=axis_name, out_dtype=out_dtype,
+                     n_clouds=n_clouds)
         new_state[name] = s
         return y
 
@@ -278,7 +287,7 @@ def apply_unet(
         y, s = _block(spec.block_norm_type, params[name],
                       bn_state.get(name) if bn_state else None, fb, level,
                       training=training, momentum=bn_momentum,
-                      axis_name=axis_name, folded=folded)
+                      axis_name=axis_name, folded=folded, n_clouds=n_clouds)
         new_state[name] = s
         return y
 

@@ -160,12 +160,16 @@ class StepBuilder:
     def _forward(self, params, bn_state, pyr, *, training, in_feats=None):
         """Forward over a folded brick pyramid; returns ([B*cap, C], state)."""
         c = self.cfg
+        # fold count (static): L0 brick rows are laid out per cloud at
+        # caps[1] bricks each (sparse/bricks.py: NBtot = B * brick_cap)
+        n_clouds = pyr.levels[0].bkeys.shape[0] // c.caps[1]
         feats, new_state = apply_unet(
             c.spec, params, bn_state, pyr, in_feats,
             conv1_kernel_size=c.conv1_kernel_size,
             training=training, bn_momentum=c.bn_momentum,
             axis_name=c.axis_name if training else None,
             normalize_feature=c.normalize_feature,
+            n_clouds=n_clouds,
         )
         return feats, new_state
 

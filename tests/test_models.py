@@ -116,6 +116,36 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
                                    atol=2e-4)
 
+    def test_instance_norm_per_cloud(self):
+        """MinkowskiInstanceNorm is PER-CLOUD (reference model/common.py:
+        8-10): with n_clouds threaded, an IN-variant forward over a B=2
+        fold must equal each cloud's B=1 forward (whole-fold IN statistics
+        would mix the clouds and fail this)."""
+        rng = np.random.default_rng(9)
+        pts_a = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+        # disjoint ranges => very different per-cloud statistics
+        pts_b = (rng.uniform(-2, 2, (300, 3)) * np.array([4, 1, 1])
+                 ).astype(np.float32)
+        caps = (512, 256, 256)
+        spec = load_model("SimpleNetINE")
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(3), 1, 16, 3)
+
+        def fwd(pts_batch):
+            B = len(pts_batch)
+            vox, pyr = preprocess_clouds(
+                jnp.asarray(np.stack(pts_batch)),
+                jnp.full((B,), 300, jnp.int32), caps=caps, voxel_size=0.3)
+            feats, _ = apply_unet(spec, params, bn_state, pyr,
+                                  training=True, conv1_kernel_size=3,
+                                  n_clouds=B)
+            return np.asarray(feats).reshape(B, caps[0], 16)
+
+        solo_a = fwd([pts_a])[0]
+        solo_b = fwd([pts_b])[0]
+        pair = fwd([pts_a, pts_b])
+        np.testing.assert_allclose(pair[0], solo_a, atol=1e-4)
+        np.testing.assert_allclose(pair[1], solo_b, atol=1e-4)
+
     def test_eval_mode_batch_isolation(self):
         """In eval mode a cloud's features must not depend on its batchmates."""
         rng = np.random.default_rng(1)
