@@ -554,7 +554,44 @@ class SyntheticPairDataset(PairDatasetBase):
     # continuous subclass bumps seed0 each epoch for fresh scenes)
     seed0 = 1000
 
+    # raw-scene cache: raycasting 2x65k points takes seconds on the 1-vCPU
+    # host, and within an extension stage the same (seed0, idx, schedule)
+    # deterministically rebuilds the same scene every epoch — cache the
+    # pre-augmentation clouds (augmentation uses self.randg and stays fresh
+    # per epoch, matching the reference's reuse of a fixed pair list within
+    # a stage, lib/data_loaders.py:1627-1647). ~1.5 MB/pair; capped.
+    _SCENE_CACHE_MAX = 96
+
+    def _scene_key(self, idx):
+        return (self.seed0, idx, float(getattr(self, "MAX_DIST", self.dist)),
+                self.phase)
+
     def __getitem__(self, idx):
+        key = self._scene_key(idx)
+        cache = getattr(self, "_scene_cache", None)
+        if cache is None:
+            cache = self._scene_cache = {}
+        if key not in cache:
+            if len(cache) >= self._SCENE_CACHE_MAX:
+                cache.clear()
+            cache[key] = self._build_scene(idx)
+        xyz0, xyz1, M2, d = cache[key]
+        xyz0, xyz1, trans, search = augment_pair(
+            xyz0, xyz1, M2, self.randg,
+            random_rotation=self.random_rotation,
+            random_scale=self.random_scale,
+            min_scale=self.min_scale, max_scale=self.max_scale,
+            search_voxel_size=self.matching_search_voxel_size,
+        )
+        return {
+            "xyz0": xyz0, "xyz1": xyz1, "T_gt": trans,
+            "frame_distance": max(1, int(round(d))),
+            "search_radius": search, "meta": (0, idx, idx + 1),
+        }
+
+    def _build_scene(self, idx):
+        """Raycast one deterministic scene -> (xyz0, xyz1, M2, d), all
+        pre-augmentation (cacheable)."""
         rng = np.random.default_rng(self.seed0 + idx)
         d = self._item_dist(idx, rng)
         # boxes centered between the two poses so both scans see structure
@@ -576,12 +613,19 @@ class SyntheticPairDataset(PairDatasetBase):
                 x0 += length + rng.uniform(2, 12)
         boxes = np.concatenate([boxes, np.asarray(walls, np.float64)], 0)
         sigma = np.concatenate([sigma, np.full(len(walls), 0.08)])
-        yaw = rng.uniform(-0.3, 0.3)
+        # relative pose grows with travel distance (curving-road model):
+        # adjacent frames (d~1 m) differ by <0.5 deg yaw / cm-level lateral
+        # drift like real 10 Hz KITTI frames — the regime where the
+        # reference's identity-pose base labels are valid
+        # (lib/data_loaders.py:948-957) — while distant pairs keep the
+        # full +-17 deg yaw / +-2 m drift
+        frac = min(1.0, d / 45.0)
+        yaw = rng.uniform(-0.3, 0.3) * frac
         c, s = np.cos(yaw), np.sin(yaw)
         pos0 = np.eye(4); pos0[:3, 3] = (0, 0, 0)
         pos1 = np.eye(4)
         pos1[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-        pos1[:3, 3] = (d, rng.uniform(-2, 2), 0)
+        pos1[:3, 3] = (d, rng.uniform(-2, 2) * frac, 0)
 
         n_az = max(64, self.n_points // 64)
 
@@ -596,18 +640,7 @@ class SyntheticPairDataset(PairDatasetBase):
 
         xyz0, xyz1 = scan(pos0, 0.0), scan(pos1, yaw)
         M2 = np.linalg.inv(pos1) @ pos0
-        xyz0, xyz1, trans, search = augment_pair(
-            xyz0, xyz1, M2, self.randg,
-            random_rotation=self.random_rotation,
-            random_scale=self.random_scale,
-            min_scale=self.min_scale, max_scale=self.max_scale,
-            search_voxel_size=self.matching_search_voxel_size,
-        )
-        return {
-            "xyz0": xyz0, "xyz1": xyz1, "T_gt": trans,
-            "frame_distance": max(1, int(round(d))),
-            "search_radius": search, "meta": (0, idx, idx + 1),
-        }
+        return xyz0, xyz1, M2, d
 
 
 class SyntheticContinuousPairDataset(SyntheticPairDataset):

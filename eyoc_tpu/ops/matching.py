@@ -86,6 +86,9 @@ def mutual_topk_matches(
     Returns (idx0 [2*num_corres], idx1 [2*num_corres], weight, valid):
     first half = cloud0->cloud1 matches, second half = cloud1->cloud0.
     """
+    # top-k of a pool smaller than k = take the whole pool (the reference's
+    # torch.topk over >=5000 rows never hits this; small-capacity configs do)
+    num_corres = min(num_corres, F0.shape[0], F1.shape[0])
     K = 2 if feature_filter == "Lowe" else 1
     d2_01, nn_01 = masked_knn(F0, mask0, F1, mask1, k=K, tile=knn_tile)
     d2_10, nn_10 = masked_knn(F1, mask1, F0, mask0, k=K, tile=knn_tile)

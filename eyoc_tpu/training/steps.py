@@ -85,7 +85,8 @@ def _random_subset(noise: jnp.ndarray, n: int):
     (invalid rows pre-set to > 1). `top_k` lowers to a full row sort on
     TPU; `approx_max_k` over i.i.d. noise selects a subset with exactly
     the same distribution at a fraction of the cost."""
-    if n >= noise.shape[-1]:
+    n = min(n, noise.shape[-1])  # an n-subset of fewer rows = all of them
+    if n == noise.shape[-1]:
         _, sel = jax.lax.top_k(-noise, n)
         return sel
     _, sel = jax.lax.approx_max_k(-noise, n, recall_target=0.95)
