@@ -554,6 +554,11 @@ class SyntheticPairDataset(PairDatasetBase):
     # continuous subclass bumps seed0 each epoch for fresh scenes)
     seed0 = 1000
 
+    # minimum pose-change fraction: 0.0 = strictly distance-proportional
+    # (adjacent d~1 m frames nearly motionless). Probes raise it to model a
+    # turning vehicle whose consecutive 10 Hz scans differ by 1-3 deg yaw.
+    POSE_FRACTION_FLOOR = 0.0
+
     # raw-scene cache: raycasting 2x65k points takes seconds on the 1-vCPU
     # host, and within an extension stage the same (seed0, idx, schedule)
     # deterministically rebuilds the same scene every epoch — cache the
@@ -619,7 +624,7 @@ class SyntheticPairDataset(PairDatasetBase):
         # reference's identity-pose base labels are valid
         # (lib/data_loaders.py:948-957) — while distant pairs keep the
         # full +-17 deg yaw / +-2 m drift
-        frac = min(1.0, d / 45.0)
+        frac = min(1.0, max(d / 45.0, self.POSE_FRACTION_FLOOR))
         yaw = rng.uniform(-0.3, 0.3) * frac
         c, s = np.cos(yaw), np.sin(yaw)
         pos0 = np.eye(4); pos0[:3, 3] = (0, 0, 0)
