@@ -56,14 +56,21 @@ def make_config(args, arm):
         # published EYOC recipe where it transfers to the synthetic set-up
         # (scripts/train_kitti_EYOC.sh): SGD, exp_gamma, voxel 0.3,
         # conv1_kernel_size 5, EMA decay 0.2, SC2-PCR verification ON,
-        # hit_ratio_thresh 0.3. Similarity tables are KITTI-specific, so
-        # the spatial filter is None here (filters have their own oracle
-        # tests, tests/test_registration.py).
+        # hit_ratio_thresh 0.3. Every published recipe runs a spatial
+        # filter (Similarity for KITTI, Spherical r=40 for nuScenes/WOD,
+        # reference scripts/train_*_EYOC.sh:82-87) — its job is to kill
+        # the sensor-relative identity attractor by dropping near-sensor
+        # matches (ground rings) that register in the SENSOR frame. The
+        # Similarity tables are KITTI-statistics-specific, so the
+        # synthetic demo runs Spherical with the radius scaled to this
+        # scene's geometry (walls at |y| 7-18 m; probe sweep
+        # proto_ext_label_probe.py + EXTENSION_DEMO.md record the choice).
         trainer="ContinuousCorrExtensionTrainer",
         dataset="SyntheticContinuousPairDataset",
         model="ResUNetBN2C", model_n_out=32, conv1_kernel_size=5,
         voxel_size=0.3, use_SC2_PCR=True,
-        feature_filter="None", spatial_filter="None",
+        feature_filter="None",   # published (scripts/train_*_EYOC.sh:81)
+        spatial_filter=args.spatial_filter, filter_radius=args.filter_radius,
         sync_strategy="EMA", ema_decay=0.2,
         hit_ratio_thresh=0.3,
         optimizer="SGD", lr=args.lr, exp_gamma=args.exp_gamma,
@@ -175,6 +182,19 @@ def run_arm(arm, args, evaluate):
     eval_every = max(1, getattr(trainer.data_loader.dataset,
                                 "extension_epoch_interval", 5))
     t0 = time.time()
+    # base warmup: repeat epoch 1 (schedule holds MAX_DIST=FIRST=1, base
+    # mode) until the student has a usable short-range labeler before the
+    # first extension. The reference gets this for free from its scale —
+    # pair_max_dist=30 over 200 epochs ⇒ ~7 base epochs x ~1285 steps
+    # (lib/data_loaders.py:1627-1647); this demo's compressed run needs
+    # the hold made explicit or base training is ~30 steps.
+    for we in range(args.base_epochs):
+        trainer._train_epoch(1, cfg.lr)
+    if args.base_epochs:
+        rr = evaluate(trainer.state.params, trainer.state.bn_state)
+        history.append({"epoch": 0, "max_dist": 1, "rr": rr})
+        logging.info(f"[{arm}] base warmup done ({args.base_epochs} ep) RR=" +
+                     " ".join(f"{d:.0f}m:{v:.2f}" for d, v in rr.items()))
     for epoch in range(1, cfg.max_epoch + 1):
         lr = exp_lr(cfg.lr, cfg.exp_gamma, epoch)
         # same epoch mechanics as AlignmentTrainer.train(); eval hooks are
@@ -198,9 +218,15 @@ def main():
     p.add_argument("--arm", default="all",
                    choices=["all", "untrained", "base-only",
                             "eyoc-ema", "eyoc-sync"])
-    p.add_argument("--epochs", type=int, default=36)
-    p.add_argument("--stages", type=int, default=6,
+    p.add_argument("--epochs", type=int, default=48)
+    p.add_argument("--stages", type=int, default=12,
                    help="extension_steps: schedule updates per run")
+    p.add_argument("--base_epochs", type=int, default=12,
+                   help="extra base-mode epochs (repeat of schedule epoch "
+                        "1) before the extension schedule runs")
+    p.add_argument("--spatial_filter", default="Spherical",
+                   choices=["None", "Spherical"])
+    p.add_argument("--filter_radius", type=float, default=10.0)
     p.add_argument("--max_dist", type=int, default=45)
     p.add_argument("--pairs_per_epoch", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=2)
@@ -214,10 +240,12 @@ def main():
                         "exercises the full loop only")
     args = p.parse_args()
     if args.quick:
-        args.epochs, args.stages = 4, 2
+        args.epochs, args.stages, args.base_epochs = 4, 2, 1
         args.pairs_per_epoch, args.eval_pairs = 4, 2
         args.points, args.voxel_capacity = 8192, 2048
         args.max_dist = 10
+        args.filter_radius = 4.0  # tiny scenes: keep the filter exercised
+        # without starving SC2-PCR (same scaling note as __graft_entry__)
 
     logging.basicConfig(
         level=logging.INFO,

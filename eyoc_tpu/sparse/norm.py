@@ -46,9 +46,14 @@ def masked_batch_norm(
         s1 = jnp.sum(x * m, axis=(0, 1))
         s2 = jnp.sum((x * x) * m, axis=(0, 1))
         if axis_name is not None:
-            n = jax.lax.psum(n, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
+            # ONE fused psum for (n, s1, s2): elementwise sums commute with
+            # concatenation, and one collective per BN instead of three
+            # matters — each is a full-mesh rendezvous (launch latency on
+            # ICI; whole scheduler quanta on the CPU-mesh dryrun host)
+            packed = jax.lax.psum(
+                jnp.concatenate([n[None], s1, s2]), axis_name)
+            C = s1.shape[0]
+            n, s1, s2 = packed[0], packed[1:1 + C], packed[1 + C:]
         n = jnp.maximum(n, 1.0)
         mean = s1 / n
         var = jnp.maximum(s2 / n - mean * mean, 0.0)
@@ -91,9 +96,10 @@ def masked_batch_norm_fb(
         s1 = jnp.sum(xf * mexp, axis=0).reshape(8, C).sum(0)
         s2 = jnp.sum((xf * xf) * mexp, axis=0).reshape(8, C).sum(0)
         if axis_name is not None:
-            n = jax.lax.psum(n, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
+            # one fused psum per BN (see masked_batch_norm)
+            packed = jax.lax.psum(
+                jnp.concatenate([n[None], s1, s2]), axis_name)
+            n, s1, s2 = packed[0], packed[1:1 + C], packed[1 + C:]
         n = jnp.maximum(n, 1.0)
         mean = s1 / n
         var = jnp.maximum(s2 / n - mean * mean, 0.0)

@@ -313,6 +313,35 @@ def save_imported(out_dir: str, name: str, params, bn, info):
     return path
 
 
+def write_test_config(out_dir: str, input_path: str, info):
+    """Write a `cli.test`-loadable config.json next to the imported weights.
+
+    Flag surface = our parser defaults, overlaid with every key of the
+    torch checkpoint's embedded config that our parser also knows (the
+    reference dumps its full argparse config into the checkpoint,
+    lib/trainer.py:170-176, and the flag names match ours by design), then
+    the resolved model hyperparameters. After this, the imported directory
+    is a drop-in `--save_dir`/OUT_DIR for cli.test / scripts/test_kitti.sh
+    (see docs/REAL_DATA_RUNBOOK.md).
+    """
+    from eyoc_tpu.config import Config, build_parser
+
+    cfg = Config(vars(build_parser().parse_args([])))
+    obj = _torch_load(input_path)
+    embedded = obj.get("config", {}) if isinstance(obj, dict) else {}
+    if not isinstance(embedded, dict):  # easydict pickles as dict subclass
+        embedded = dict(embedded.__dict__) if hasattr(embedded, "__dict__") else {}
+    for k, v in embedded.items():
+        if k in cfg and isinstance(v, (bool, int, float, str, type(None))):
+            cfg[k] = v
+    cfg.update({k: info[k]
+                for k in ("model", "model_n_out", "conv1_kernel_size")})
+    cfg.out_dir = out_dir
+    path = os.path.join(out_dir, "config.json")
+    cfg.save(path)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--input", required=True, help="torch .pth checkpoint")
@@ -324,10 +353,16 @@ def main(argv=None):
                    help="override the checkpoint's embedded config")
     p.add_argument("--model_n_out", default=None, type=int)
     p.add_argument("--conv1_kernel_size", default=None, type=int)
+    p.add_argument("--write_test_config", action="store_true",
+                   help="also write config.json so --output_dir is a "
+                        "drop-in --save_dir for cli.test")
     args = p.parse_args(argv)
     params, bn, info = import_checkpoint(
         args.input, args.model, args.model_n_out, args.conv1_kernel_size)
     path = save_imported(args.output_dir, args.name, params, bn, info)
+    if args.write_test_config:
+        cfg_path = write_test_config(args.output_dir, args.input, info)
+        print(f"wrote {cfg_path}")
     n = sum(int(np.prod(np.shape(x)))
             for x in __import__("jax").tree_util.tree_leaves(params))
     print(f"imported {info['model']} ({n:,} params, epoch {info['epoch']}) "

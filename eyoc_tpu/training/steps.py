@@ -158,8 +158,15 @@ class StepBuilder:
 
     # ------------------------------------------------------------- forward
 
-    def _forward(self, params, bn_state, pyr, *, training, in_feats=None):
-        """Forward over a folded brick pyramid; returns ([B*cap, C], state)."""
+    def _forward(self, params, bn_state, pyr, *, training, in_feats=None,
+                 sync_bn=True):
+        """Forward over a folded brick pyramid; returns ([B*cap, C], state).
+
+        sync_bn=False runs train-mode BN with device-local batch stats
+        even under a dp axis — used for the frozen labeler forwards, whose
+        stats the reference computes in one process and we discard anyway
+        (lib/trainer.py:1575-1581); skipping their ~75 per-layer psums
+        halves the step's collective count."""
         c = self.cfg
         # fold count (static): L0 brick rows are laid out per cloud at
         # caps[1] bricks each (sparse/bricks.py: NBtot = B * brick_cap)
@@ -168,7 +175,7 @@ class StepBuilder:
             c.spec, params, bn_state, pyr, in_feats,
             conv1_kernel_size=c.conv1_kernel_size,
             training=training, bn_momentum=c.bn_momentum,
-            axis_name=c.axis_name if training else None,
+            axis_name=c.axis_name if (training and sync_bn) else None,
             normalize_feature=c.normalize_feature,
             n_clouds=n_clouds,
         )
@@ -423,11 +430,14 @@ class StepBuilder:
             # frozen labeler forward (train-mode BN like the reference's
             # never-.eval()'d labeler; its state updates are discarded);
             # sees the same jittered inputs as the student (the reference
-            # jitters the dataset features once for both forwards)
+            # jitters the dataset features once for both forwards).
+            # sync_bn=False: device-local labeler stats (see _forward)
             F0L, _ = self._forward(labeler_params, labeler_bn_state,
-                                   pyr0, training=True, in_feats=in0)
+                                   pyr0, training=True, in_feats=in0,
+                                   sync_bn=False)
             F1L, _ = self._forward(labeler_params, labeler_bn_state,
-                                   pyr1, training=True, in_feats=in1)
+                                   pyr1, training=True, in_feats=in1,
+                                   sync_bn=False)
             B, cap = vox0.mask.shape
             F0L = jax.lax.stop_gradient(F0L).reshape(B, cap, -1)
             F1L = jax.lax.stop_gradient(F1L).reshape(B, cap, -1)

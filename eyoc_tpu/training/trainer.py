@@ -256,7 +256,7 @@ class AlignmentTrainer:
                     m.update(float(metrics[k]))
             total_timer.toc()
             if curr_iter % self.config.stat_freq == 0:
-                for k in ("loss", "pos_loss", "neg_loss"):
+                for k in ("loss", "pos_loss", "neg_loss", *extra_meters):
                     self.writer.add_scalar(f"train/{k}", meters[k].val, start_iter + curr_iter)
                 msg = (
                     f"Train Epoch: {epoch} [{curr_iter}/{n_steps}], "
@@ -387,7 +387,8 @@ class ContinuousCorrExtensionTrainer(HardestContrastiveLossTrainer):
             self._run_epoch(step, epoch, lr)
         else:
             self._run_epoch(self._extension_step(), epoch, lr,
-                            extra_meters=("labeler_hit_ratio",))
+                            extra_meters=("labeler_hit_ratio",
+                                          "num_pos_found"))
 
 
 class CorrespondenceExtensionTrainer(ContinuousCorrExtensionTrainer):

@@ -1,7 +1,7 @@
 """A/B: per-pair lax.map vs vmap(G)-grouped SC2-PCR registration.
 
 The reg path is serial-depth bound (power-iteration chains, consensus,
-IRLS refine while_loop — PERF_NOTES round-4 session A: variant space is
+IRLS refine while_loop — PERF_NOTES round-3 session F: variant space is
 exhausted at ~7.3 ms/call). vmapping G pairs overlaps their serial chains
 on the same chip at the cost of G x the N^2 working set
 ([G, 5000, 5000] f32 cross-dist ~ G x 100 MB transients).

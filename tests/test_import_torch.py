@@ -320,3 +320,47 @@ class TestGoldenFeatures:
         cos = np.sum(a[live] * b[live], -1) / (na[live] * nb[live] + 1e-12)
         assert float(cos.min()) > 0.999
         np.testing.assert_allclose(a[~live], b[~live], atol=1e-6)
+
+
+class TestGoldenFeaturesFlagship:
+    """Same joint guard as TestGoldenFeatures, but on the published
+    architecture itself — ResUNetBN2C/32, conv1_kernel_size=5 (reference
+    model/resunet.py:206-209, the checkpoint the runbook imports). Red if
+    any of the 4 levels' tap order, skip-concat order, or transpose-kernel
+    layout shifts."""
+
+    GOLDEN32 = os.path.join(os.path.dirname(__file__), "golden",
+                            "import_torch_resunetbn2c_features.npz")
+
+    def _features(self, params, bn, spec):
+        rng = np.random.RandomState(1)
+        pts = rng.uniform(-6, 6, (1, 400, 3)).astype(np.float32)
+        vox, pyr = preprocess_clouds(
+            jnp.asarray(pts), jnp.asarray([400], jnp.int32),
+            caps=(512, 256, 256, 256), voxel_size=0.3, window_bits=(8, 8, 7))
+        set_compute_dtype(jnp.float32)
+        try:
+            feats, _ = apply_unet(spec, params, bn, pyr, training=False,
+                                  conv1_kernel_size=5)
+        finally:
+            set_compute_dtype(jnp.bfloat16)
+        return np.asarray(feats), np.asarray(vox.mask[0])
+
+    def test_imported_matches_golden(self, tmp_path):
+        spec, params, bn = _deterministic_params("ResUNetBN2C", 32, 5)
+        path = _save_reference_style(tmp_path, params, bn,
+                                     "ResUNetBN2C", 32, 5)
+        p2, b2, info = import_checkpoint(path)
+        assert info["model"] == "ResUNetBN2C"
+        feats, mask = self._features(p2, b2, spec)
+        if not os.path.exists(self.GOLDEN32):  # pragma: no cover
+            np.savez_compressed(self.GOLDEN32, feats=feats, mask=mask)
+            pytest.skip("golden dump created; re-run to verify")
+        g = np.load(self.GOLDEN32)
+        assert (mask == g["mask"]).all()
+        a, b = feats[mask], g["feats"][g["mask"]]
+        na, nb = np.linalg.norm(a, axis=-1), np.linalg.norm(b, axis=-1)
+        live = (na > 1e-6) | (nb > 1e-6)
+        cos = np.sum(a[live] * b[live], -1) / (na[live] * nb[live] + 1e-12)
+        assert float(cos.min()) > 0.999
+        np.testing.assert_allclose(a[~live], b[~live], atol=1e-6)
