@@ -56,15 +56,16 @@ def make_config(args, arm):
         # published EYOC recipe where it transfers to the synthetic set-up
         # (scripts/train_kitti_EYOC.sh): SGD, exp_gamma, voxel 0.3,
         # conv1_kernel_size 5, EMA decay 0.2, SC2-PCR verification ON,
-        # hit_ratio_thresh 0.3. Every published recipe runs a spatial
-        # filter (Similarity for KITTI, Spherical r=40 for nuScenes/WOD,
-        # reference scripts/train_*_EYOC.sh:82-87) — its job is to kill
-        # the sensor-relative identity attractor by dropping near-sensor
-        # matches (ground rings) that register in the SENSOR frame. The
-        # Similarity tables are KITTI-statistics-specific, so the
-        # synthetic demo runs Spherical with the radius scaled to this
-        # scene's geometry (walls at |y| 7-18 m; probe sweep
-        # proto_ext_label_probe.py + EXTENSION_DEMO.md record the choice).
+        # hit_ratio_thresh 0.3. Published recipes run a spatial filter
+        # (Similarity for KITTI, Spherical r=40 for nuScenes/WOD,
+        # reference scripts/train_*_EYOC.sh:82-87) sized for real HDL-64E
+        # streets; on this synthetic set the round-4 probe sweep
+        # (proto_ext_label_probe, recorded in EXTENSION_DEMO.md) showed
+        # Spherical r in {10,20,30} strictly HURTS labeler pose quality
+        # (it drops the informative near-mid structure; e.g. d=4 medTE
+        # 0.06 m with None vs 2.1 m with r=10 after the matmul-precision
+        # fix), so the demo default is None — overridable for the
+        # published-config shape via --spatial_filter.
         trainer="ContinuousCorrExtensionTrainer",
         dataset="SyntheticContinuousPairDataset",
         model="ResUNetBN2C", model_n_out=32, conv1_kernel_size=5,
@@ -224,7 +225,7 @@ def main():
     p.add_argument("--base_epochs", type=int, default=12,
                    help="extra base-mode epochs (repeat of schedule epoch "
                         "1) before the extension schedule runs")
-    p.add_argument("--spatial_filter", default="Spherical",
+    p.add_argument("--spatial_filter", default="None",
                    choices=["None", "Spherical"])
     p.add_argument("--filter_radius", type=float, default=10.0)
     p.add_argument("--max_dist", type=int, default=45)

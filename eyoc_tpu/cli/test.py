@@ -105,7 +105,7 @@ def load_test_config(args) -> Config:
 def main(config, num_pairs=-1, dp=1):
     from eyoc_tpu.parallel.mesh import make_mesh, shard_batch
     from eyoc_tpu.utils.platform import apply_platform_env
-    apply_platform_env()
+    apply_platform_env(config)
 
     if float(config.get("downsample_single", 1.0)) != 1.0:
         # the reference parses --downsample_single (scripts/test_kitti.py:

@@ -24,7 +24,7 @@ logging.basicConfig(
 
 def main(config):
     from eyoc_tpu.utils.platform import apply_platform_env
-    apply_platform_env()
+    apply_platform_env(config)
     maybe_distributed_init(config)
     np.random.seed(config.get("seed", 0))
     train_loader = make_data_loader(config, config.train_phase, config.batch_size)

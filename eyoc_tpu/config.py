@@ -190,8 +190,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "keeps them). z=9 keeps everything at 2x the "
                         "transient neighbor-grid cost; eval uses z=7 "
                         "(no rotation at test, cli/test.py)")
-    g.add_argument("--matmul_precision", type=str, default="default",
-                   choices=["default", "bfloat16", "highest"])
+    g.add_argument("--matmul_precision", type=str, default="highest",
+                   choices=["default", "bfloat16", "highest"],
+                   help="jax_default_matmul_precision for f32 matmuls "
+                        "(DESIGN: fp32 by default; the conv engine is "
+                        "explicit-bf16 and unaffected). Critical kernels "
+                        "pin HIGHEST inline regardless.")
     return p
 
 

@@ -444,9 +444,13 @@ class SyntheticPairDataset(PairDatasetBase):
                          (n_boxes, 3))],
             rng.uniform([2.0, 2.0, 2.0], [7.0, 7.0, 7.0],
                         (n_boxes, 3)))                           # trees/bushes
-        # vegetation scatters diffusely (thick shells of voxels, like real
-        # foliage); hard surfaces get sensor-level noise only
-        sigma = np.select([kind == 3, kind == 2], [0.35, 0.08], 0.02)
+        # per-surface world-texture amplitude (see raycast_scan). NB the
+        # network sees OCCUPANCY at 0.3 m voxels — relief must exceed the
+        # voxel scale to reshape it (sub-voxel texture is invisible; the
+        # round-4 first-cut amplitudes of 5-8 cm measurably changed
+        # nothing). Buildings get facade articulation (windows/pillars
+        # ~0.35 m), vegetation thick shells (0.5 m), cars/poles 0.15 m.
+        sigma = np.select([kind == 3, kind == 2], [0.5, 0.35], 0.15)
         # keep the road corridor (|y| < 4.5 along the sensor line) clear:
         # the sensors drive through this scene, so structure sits at the
         # roadside, not on the road — otherwise nearby buildings wall each
@@ -476,6 +480,36 @@ class SyntheticPairDataset(PairDatasetBase):
             ph = r.uniform(0, 2 * np.pi)
             h += r.uniform(0.04, 0.12) * np.sin(xy @ k + ph)
         return h
+
+    @staticmethod
+    def _world_texture(rng_seed, pts, n_terms=10):
+        """World-anchored unit-RMS displacement field: sum of 3-D vector
+        sinusoids of WORLD position, wavelengths 0.8-6 m (the 1-10 voxel
+        scale local descriptors integrate over).
+
+        Why it exists (round-4 probe result, proto_match_quality): analytic
+        planes + per-scan random scatter give surface patches NO
+        view-consistent local signature — identical everywhere (planes) or
+        decorrelated between scans (random scatter) — so base training can
+        only learn the sensor-relative ring geometry (feature-match hit
+        0.3-1.6% at d=4, the identity-attractor failure of the extension
+        demo). Real surfaces carry stable centimeter-scale relief (gravel,
+        bark, brick, dents); this field is that relief, and because it is a
+        function of world position it is bitwise-consistent across the two
+        scans of a pair. Per-surface amplitude scales it (vegetation thick,
+        walls medium, ground fine)."""
+        r = np.random.default_rng(rng_seed)
+        disp = np.zeros_like(pts)
+        for _ in range(n_terms):
+            wl = np.exp(r.uniform(np.log(1.2), np.log(8.0)))
+            kdir = r.normal(size=3)
+            kdir /= np.linalg.norm(kdir)
+            u = r.normal(size=3)
+            u /= np.linalg.norm(u)
+            ph = r.uniform(0, 2 * np.pi)
+            disp += u * np.sin(pts @ (2 * np.pi / wl * kdir) + ph)[:, None]
+        # each component is a sum of n_terms sin() * u_i: normalize to ~unit RMS
+        return disp / np.sqrt(n_terms / 2.0)
 
     @staticmethod
     def raycast_scan(rng, origin, yaw, boxes, n_beams=64, n_az=2048,
@@ -534,12 +568,20 @@ class SyntheticPairDataset(PairDatasetBase):
             gh = ground_hit[hit]
             pts[gh, 2] += SyntheticPairDataset._terrain(
                 terrain_seed, pts[gh, :2])
-        # per-surface roughness: vegetation boxes scatter diffusely
-        sig = np.full(len(pts), 0.02)
+        # world-anchored surface relief: per-surface amplitude (vegetation
+        # thick shells, walls brick-scale, ground gravel-scale) applied to
+        # a deterministic f(world position) field, so BOTH scans displace
+        # the same world surface identically — the view-consistent local
+        # signature descriptors train on (see _world_texture docstring)
+        amp = np.full(len(pts), 0.15)   # ground: curb/rut scale (>= voxel/2)
         if box_sigma is not None:
             bh = ~ground_hit[hit]
-            sig[bh] = box_sigma[kbox[hit][bh]]
-        pts = pts + rng.normal(0, 1.0, pts.shape) * sig[:, None]
+            amp[bh] = box_sigma[kbox[hit][bh]]
+        if terrain_seed is not None:
+            pts = pts + SyntheticPairDataset._world_texture(
+                terrain_seed + 1, pts) * amp[:, None]
+        # plus plain per-scan sensor noise
+        pts = pts + rng.normal(0, 1.0, pts.shape) * 0.02
         # to sensor frame (yaw-only pose)
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
@@ -617,7 +659,7 @@ class SyntheticPairDataset(PairDatasetBase):
                               [x0 + length, max(y, y + sgn * 0.6), -1.7 + h]])
                 x0 += length + rng.uniform(2, 12)
         boxes = np.concatenate([boxes, np.asarray(walls, np.float64)], 0)
-        sigma = np.concatenate([sigma, np.full(len(walls), 0.08)])
+        sigma = np.concatenate([sigma, np.full(len(walls), 0.35)])
         # relative pose grows with travel distance (curving-road model):
         # adjacent frames (d~1 m) differ by <0.5 deg yaw / cm-level lateral
         # drift like real 10 Hz KITTI frames — the regime where the

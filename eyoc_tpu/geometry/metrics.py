@@ -10,16 +10,28 @@ Definitions mirror the reference exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from eyoc_tpu.geometry.se3 import transform_points
 
 
 def pdist2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Squared pairwise distances. a: [..., N, D], b: [..., M, D] -> [..., N, M]."""
+    """Squared pairwise distances. a: [..., N, D], b: [..., M, D] -> [..., N, M].
+
+    The cross term MUST run at HIGHEST matmul precision: with TPU's default
+    bf16 operands, coordinate-scale inputs (|x| ~ 80 m, products ~ 6400)
+    carry +-25 m^2 of noise — the round-4 root cause that made GT radius
+    matching, labeling rediscovery, and hit ratios meaningless on TPU
+    while the f32 CPU test suite stayed green (PERF_NOTES round-4
+    session B). Unit-norm features lose rank fidelity near Lowe-ratio
+    ties the same way. D is 3 or 32; the exact matmul is bandwidth-bound
+    and costs nothing measurable.
+    """
     d2 = (
         jnp.sum(a * a, -1)[..., :, None]
-        - 2.0 * (a @ jnp.swapaxes(b, -1, -2))
+        - 2.0 * jnp.matmul(a, jnp.swapaxes(b, -1, -2),
+                           precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(b * b, -1)[..., None, :]
     )
     return jnp.maximum(d2, 0.0)

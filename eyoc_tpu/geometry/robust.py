@@ -48,8 +48,12 @@ def _normal_equations(pts0, pts1, w):
     )  # [n, 3, 6]
     r = pts1 - pts0  # [n, 3]
     w2 = (w * w)[:, None, None]
-    M = jnp.einsum("nki,nkj->ij", J * w2, J)
-    v = jnp.einsum("nki,nk->i", J * w2, r)
+    # HIGHEST: coordinate-scale Jacobian products; bf16 accumulation
+    # noise shifts the normal-equations solution by decimeters
+    M = jnp.einsum("nki,nkj->ij", J * w2, J,
+                   precision=jax.lax.Precision.HIGHEST)
+    v = jnp.einsum("nki,nk->i", J * w2, r,
+                   precision=jax.lax.Precision.HIGHEST)
     return M, v
 
 
@@ -83,7 +87,9 @@ def est_quad_linear_robust(
         # Tikhonov epsilon keeps degenerate (fully masked) systems finite.
         x = jnp.linalg.solve(M + 1e-6 * jnp.eye(6, dtype=M.dtype), v)
         trans_curr = _small_angle_trans(x)
-        pts0_curr = pts0_curr @ trans_curr[:3, :3].T + trans_curr[:3, 3]
+        pts0_curr = jnp.matmul(
+            pts0_curr, trans_curr[:3, :3].T,
+            precision=jax.lax.Precision.HIGHEST) + trans_curr[:3, 3]
         w = par / (jnp.linalg.norm(pts0_curr - pts1, axis=1) + par) * valid
         trans = trans_curr @ trans
         return pts0_curr, w, trans, par

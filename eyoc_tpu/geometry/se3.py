@@ -7,6 +7,7 @@ re-derived for arbitrary leading batch dimensions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,7 +20,13 @@ def transform_points(pts: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     """
     R = trans[..., :3, :3]
     t = trans[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    # HIGHEST: on TPU the default f32 matmul runs bf16 operands; at LiDAR
+    # coordinate scale (~80 m) that is +-0.3 m of noise on warped points —
+    # catastrophic for every radius check downstream (round-4 root cause
+    # of the half-wrong GT positives, PERF_NOTES round-4 session B). K=3
+    # matmuls are bandwidth-bound; exactness here is free.
+    return jnp.matmul(pts, jnp.swapaxes(R, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST) + t[..., None, :]
 
 
 def integrate_trans(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

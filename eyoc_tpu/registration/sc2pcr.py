@@ -110,7 +110,9 @@ def _power_iteration(M: jnp.ndarray, iters: int, bf16: bool = False) -> jnp.ndar
 
     def body(_, v):
         v = jnp.einsum("...ij,...jk->...ik", M, v.astype(M.dtype),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=(None if bf16
+                                  else jax.lax.Precision.HIGHEST))
         return v / (jnp.linalg.norm(v, axis=-2, keepdims=True) + 1e-6)
 
     v = jax.lax.fori_loop(0, iters, body, v)
@@ -200,8 +202,10 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
     solve = kabsch_qcp if cfg.qcp_kabsch else kabsch
     trans = solve(src_fine, tgt_fine, w)                     # [S, 4, 4]
 
-    # fitness: inliers over the full correspondence set (:150-162)
-    pred = jnp.einsum("sij,nj->sni", trans[:, :3, :3], src) + trans[:, None, :3, 3]
+    # fitness: inliers over the full correspondence set (:150-162);
+    # HIGHEST — bf16 rotation application is +-0.3 m at coordinate scale
+    pred = jnp.einsum("sij,nj->sni", trans[:, :3, :3], src,
+                      precision=jax.lax.Precision.HIGHEST) + trans[:, None, :3, 3]
     dist = jnp.linalg.norm(pred - tgt[None], axis=-1)
     fit = jnp.sum(((dist < cfg.inlier_threshold) & valid[None]).astype(jnp.float32), -1)
     fit = jnp.where(seed_ok, fit, -1.0)
