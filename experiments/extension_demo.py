@@ -45,7 +45,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EVAL_DISTS = (15.0, 30.0, 45.0)
+
 
 
 def make_config(args, arm):
@@ -74,7 +74,7 @@ def make_config(args, arm):
         spatial_filter=args.spatial_filter, filter_radius=args.filter_radius,
         sync_strategy="EMA", ema_decay=0.2,
         hit_ratio_thresh=0.3,
-        optimizer="SGD", lr=args.lr, exp_gamma=args.exp_gamma,
+        optimizer=args.optimizer, lr=args.lr, exp_gamma=args.exp_gamma,
         batch_size=args.batch_size, iter_size=1,
         max_epoch=args.epochs,
         extension_steps=args.stages,
@@ -135,7 +135,8 @@ def build_eval(args):
     test_step = StepBuilder(step_cfg).make_test_step(use_ransac=False)
 
     banks = {}
-    for d in (EVAL_DISTS if not args.quick else (10.0,)):
+    eval_dists = tuple(float(x) for x in args.eval_dists.split(","))
+    for d in (eval_dists if not args.quick else (10.0,)):
         ds = SyntheticPairDataset(
             "test", cfg, random_rotation=False, random_scale=False,
             n_pairs=args.eval_pairs, n_points=args.points, dist=d)
@@ -234,8 +235,19 @@ def main():
     p.add_argument("--points", type=int, default=65536)
     p.add_argument("--voxel_capacity", type=int, default=16384)
     p.add_argument("--eval_pairs", type=int, default=12)
-    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--eval_dists", default="15,30,45",
+                   help="comma list of held-out eval distances (m)")
+    p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--exp_gamma", type=float, default=0.98)
+    p.add_argument("--optimizer", default="Adam", choices=["SGD", "Adam"],
+                   help="the reference's --optimizer resolves any "
+                        "torch.optim name (lib/trainer.py:80-84). Demo "
+                        "default Adam/1e-3: round-4 probes show the "
+                        "published SGD/0.1 recipe falls into the "
+                        "feature-collapse basin on THIS synthetic "
+                        "workload (hit decays below random init) while "
+                        "Adam learns (proto_hit_scaling.py trajectories "
+                        "in EXTENSION_DEMO.md)")
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke: shapes too small to learn, "
                         "exercises the full loop only")

