@@ -21,17 +21,20 @@ bank of scenes across four arms:
               scripts/train_kitti_EYOC.sh:75-76)
   eyoc-sync   same with sync_strategy=Sync
 
-Expected shape of the result: untrained ~0 everywhere; base-only high RR
-only at short range; eyoc-* holds RR at 30-45 m where base-only collapses.
+The paper predicts: untrained ~0 everywhere; base-only high RR only at
+short range; eyoc-* holds RR at distance. What this workload actually
+shows, with the full round-4 measurement story (bf16 root cause, filter
+sweep, SGD collapse basin vs Adam, the 15->20 m low-inlier cliff), lives
+in experiments/EXTENSION_DEMO.md — read it before re-running.
 
-Run (TPU, ~20-40 min, host scene-gen bound):
+Run (TPU, ~2 h, host scene-gen bound):
   python experiments/extension_demo.py --out /tmp/ext_demo
   python experiments/extension_demo.py --arm eyoc-ema   # one arm only
-Smoke (CPU, minutes, shapes too small to learn):
+Smoke (CPU, ~8 min, shapes too small to learn; pinned by
+tests/test_extension_demo.py):
   python experiments/extension_demo.py --quick
 
-Results land in <out>/results.json (+ per-arm RR trajectory), and the
-committed numbers live in experiments/EXTENSION_DEMO.md.
+Results land in <out>/results.json (+ per-arm RR trajectory).
 """
 
 import argparse

@@ -19,9 +19,13 @@ on a fixed random SUBSET of the correspondences (cheap [H, subset]
 matmul), and only the `full_verify_top` best by subset count are verified
 on the full set. Subset counts are hypergeometric-concentrated around
 subset*r, so any all-inlier hypothesis ranks far above the contamination
-floor and survives the cut with near-certainty. Defaults are set by the
-A/B in proto/proto_ransac_ab.py (RR vs inlier rate, single-stage-8k vs
-two-stage-64k/1M vs SC2-PCR), recorded in PERF_NOTES round 4.
+floor and survives the cut with near-certainty. Defaults set by the A/B
+in proto/proto_ransac_ab.py (PERF_NOTES round-4 session C): on N=5000
+banks, single-stage 8k scores RR 0.12/0.00 at r=0.01/0.02 where
+two-stage 1M scores 0.75/1.00 (= the reference 4M budget's expected-hit
+regime) at 1.38 s/pair on v5e. The default ESTIMATOR remains SC2-PCR
+(34 ms and RR >= 0.88 everywhere); this module is the opt-in
+`--use_RANSAC` parity path.
 """
 
 from __future__ import annotations
