@@ -246,11 +246,12 @@ def main():
                    help="the reference's --optimizer resolves any "
                         "torch.optim name (lib/trainer.py:80-84). Demo "
                         "default Adam/1e-3: round-4 probes show the "
-                        "published SGD/0.1 recipe falls into the "
-                        "feature-collapse basin on THIS synthetic "
-                        "workload (hit decays below random init) while "
-                        "Adam learns (proto_hit_scaling.py trajectories "
-                        "in EXTENSION_DEMO.md)")
+                        "published SGD/0.1 recipe falls straight into "
+                        "the feature-collapse basin on THIS synthetic "
+                        "workload (hit decays below random init); Adam "
+                        "delays the same collapse ~6x — least-bad "
+                        "measured choice (proto_hit_scaling.py "
+                        "trajectories in EXTENSION_DEMO.md §3)")
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke: shapes too small to learn, "
                         "exercises the full loop only")
