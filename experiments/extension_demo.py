@@ -78,6 +78,7 @@ def make_config(args, arm):
         sync_strategy="EMA", ema_decay=0.2,
         hit_ratio_thresh=0.3,
         optimizer=args.optimizer, lr=args.lr, exp_gamma=args.exp_gamma,
+        hn_safe_radius=args.hn_safe_radius,
         batch_size=args.batch_size, iter_size=1,
         max_epoch=args.epochs,
         extension_steps=args.stages,
@@ -242,7 +243,13 @@ def main():
                    help="comma list of held-out eval distances (m)")
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--exp_gamma", type=float, default=0.98)
-    p.add_argument("--optimizer", default="Adam", choices=["SGD", "Adam"],
+    p.add_argument("--hn_safe_radius", type=float, default=0.0,
+                   help="hardest-negative mining safe radius (m): exclude "
+                        "candidate negatives near the anchor's positive "
+                        "partner (config.py --hn_safe_radius; 0 = exact "
+                        "reference mining)")
+    p.add_argument("--optimizer", default="Adam",
+                   choices=["SGD", "Adam", "AdamW"],
                    help="the reference's --optimizer resolves any "
                         "torch.optim name (lib/trainer.py:80-84). Demo "
                         "default Adam/1e-3: round-4 probes show the "

@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--num_hn_samples_per_batch", type=int, default=256)
     g.add_argument("--neg_thresh", type=float, default=1.4)
     g.add_argument("--pos_thresh", type=float, default=0.1)
+    # 0.0 = exact reference mining semantics (hash mask of sampled
+    # positive pairs only, lib/trainer.py:470-480); >0 also excludes
+    # candidate negatives within this radius (m) of the anchor's positive
+    # partner — prevents false-negative mining collapse on self-similar
+    # geometry (loss.py hardest_contrastive_loss)
+    g.add_argument("--hn_safe_radius", type=float, default=0.0)
+    # dp>1: synchronize the frozen labeler's BN stats over the dp axis
+    # (exact single-process labeling semantics at ~75 extra psums/step)
+    g.add_argument("--labeler_sync_bn", type=str2bool, default=False)
     g.add_argument("--neg_weight", type=float, default=1.0)
     g.add_argument("--use_SC2_PCR", type=str2bool, default=False)
     g.add_argument("--use_random_scale", type=str2bool, default=False)
@@ -107,7 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--best_val_metric", type=str, default="feat_match_ratio")
 
     g = p.add_argument_group("Optimizer")
-    g.add_argument("--optimizer", type=str, default="SGD")
+    # the reference resolves any torch.optim name (lib/trainer.py:80-84);
+    # this build supports SGD (published recipes), Adam and AdamW
+    # (torch-semantics parity-tested, tests/test_losses.py). NB the demo's
+    # Adam default (experiments/extension_demo.py) is a measured deviation
+    # from the published SGD recipe — see EXTENSION_DEMO.md §3.
+    g.add_argument("--optimizer", type=str, default="SGD",
+                   choices=["SGD", "Adam", "AdamW"])
     g.add_argument("--max_epoch", type=int, default=100)
     g.add_argument("--lr", type=float, default=1e-1)
     g.add_argument("--momentum", type=float, default=0.8)

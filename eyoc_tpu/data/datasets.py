@@ -425,48 +425,149 @@ class SyntheticPairDataset(PairDatasetBase):
         self.dist = dist if dist is not None else max(5.0, float(config.pair_max_dist))
         self.files = [(0, i, i + 1) for i in range(n_pairs)]
 
+    GROUND_Z = -1.7
+
     @staticmethod
-    def make_boxes(rng, extent=80.0, n_boxes=144, keepout=()):
-        """World AABBs [M, 2, 3] (lo, hi): cars / poles / building slabs
-        scattered with LiDAR-realistic radial density around the origin.
-        `keepout`: world xy positions (sensor sites) no box may cover."""
-        rc = np.minimum(6.0 + rng.exponential(22.0, n_boxes), extent)
-        tc = rng.uniform(0, 2 * np.pi, n_boxes)
-        cx, cy = rc * np.cos(tc), rc * np.sin(tc)
-        kind = rng.choice(4, n_boxes, p=[0.22, 0.18, 0.2, 0.4])
-        sizes = np.select(
-            [kind[:, None] == 0, kind[:, None] == 1, kind[:, None] == 2],
-            [rng.uniform([1.6, 3.5, 1.3], [2.2, 5.0, 1.8],
-                         (n_boxes, 3)),                          # cars
-             rng.uniform([0.2, 0.2, 3.0], [0.5, 0.5, 6.0],
-                         (n_boxes, 3)),                          # poles/trunks
-             rng.uniform([4.0, 8.0, 4.0], [12.0, 20.0, 9.0],
-                         (n_boxes, 3))],
-            rng.uniform([2.0, 2.0, 2.0], [7.0, 7.0, 7.0],
-                        (n_boxes, 3)))                           # trees/bushes
-        # per-surface world-texture amplitude (see raycast_scan). NB the
-        # network sees OCCUPANCY at 0.3 m voxels — relief must exceed the
-        # voxel scale to reshape it (sub-voxel texture is invisible; the
-        # round-4 first-cut amplitudes of 5-8 cm measurably changed
-        # nothing). Buildings get facade articulation (windows/pillars
-        # ~0.35 m), vegetation thick shells (0.5 m), cars/poles 0.15 m.
-        sigma = np.select([kind == 3, kind == 2], [0.5, 0.35], 0.15)
-        # keep the road corridor (|y| < 4.5 along the sensor line) clear:
-        # the sensors drive through this scene, so structure sits at the
-        # roadside, not on the road — otherwise nearby buildings wall each
-        # sensor into a private pocket with no co-visible geometry
-        half_w = sizes[:, 1] / 2
-        need = np.maximum(0.0, 4.5 + half_w - np.abs(cy))
-        cy = cy + np.where(cy >= 0, need, -need)
-        lo = np.stack([cx - sizes[:, 0] / 2, cy - sizes[:, 1] / 2,
-                       np.full(n_boxes, -1.7)], -1)
-        hi = lo + sizes
-        boxes = np.stack([lo, hi], 1).astype(np.float64)
-        for sx, sy in keepout:
-            inside = ((boxes[:, 0, 0] < sx + 3) & (boxes[:, 1, 0] > sx - 3)
-                      & (boxes[:, 0, 1] < sy + 3) & (boxes[:, 1, 1] > sy - 3))
-            boxes[inside, :, 0] += 200.0      # relocate out of lidar range
-        return boxes, sigma
+    def make_scene(rng, d, extent=80.0, keepout=(), n_obj=110):
+        """Primitive-soup world for one scene: yaw-rotated boxes (OBB),
+        vertical cylinders and spheres composed into varied archetypes,
+        plus articulated street facades along the road.
+
+        Round-5 redesign rationale: the round-4 world (axis-aligned
+        boxes + uniform walls) was statistically SELF-SIMILAR — every wall
+        segment and box corner presented the same local occupancy pattern,
+        so hardest-negative mining had nothing separable to learn and
+        mutual-match hit saturated at ~2% (EXTENSION_DEMO.md §3/§6, the
+        round-4 verdict's top item). Descriptors integrate occupancy over
+        a ~10-20 m receptive field; what must vary non-repetitively is the
+        supra-voxel (>=0.6 m) shape AND configuration of structure inside
+        that window. Hence: 8 object archetypes at distinct scales with
+        random yaw (corner angles vary), composite objects (trees =
+        trunk+canopy, L-buildings, setback towers), and facades broken
+        into segments of irregular height/depth with irregularly spaced
+        pilasters/balconies and occasional corner towers — every
+        neighborhood becomes a unique landmark configuration.
+
+        Returns a dict of primitive arrays (world frame, z up, ground at
+        GROUND_Z), each row carrying its world-texture amplitude `sigma`
+        (see _world_texture; relief must exceed the 0.3 m voxel scale to
+        reshape occupancy):
+          obb: [M, 8]  cx, cy, cz, hx, hy, hz, yaw, sigma  (half-sizes)
+          cyl: [K, 6]  cx, cy, z0, z1, r, sigma
+          sph: [S, 5]  cx, cy, cz, r, sigma
+        `keepout`: world xy sensor sites no primitive may cover (the road
+        corridor |y| < 4.5 around the sensor line is also kept clear so
+        structure cannot wall a sensor into a private pocket)."""
+        G = SyntheticPairDataset.GROUND_Z
+        obb, cyl, sph = [], [], []
+
+        def add_box(cx, cy, z0, sx, sy, sz, yaw, sigma):
+            obb.append((cx, cy, z0 + sz / 2, sx / 2, sy / 2, sz / 2,
+                        yaw, sigma))
+
+        # ---- scattered roadside objects: LiDAR-realistic radial density
+        # around the pair midpoint (shifted by caller via `d`)
+        rc = np.minimum(6.0 + rng.exponential(22.0, n_obj), extent)
+        tc = rng.uniform(0, 2 * np.pi, n_obj)
+        ox_all = rc * np.cos(tc) + d / 2
+        oy_all = rc * np.sin(tc)
+        kinds = rng.choice(8, n_obj,
+                           p=[0.20, 0.12, 0.18, 0.16, 0.08, 0.07, 0.07, 0.12])
+        for i in range(n_obj):
+            x, y, k = ox_all[i], oy_all[i], kinds[i]
+            # approximate footprint half-width per archetype, for the
+            # road-corridor push-out and sensor keepout
+            w = (2.5, 0.3, 3.0, 7.5, 9.0, 3.0, 4.5, 2.0)[k]
+            need = max(0.0, 4.5 + w - abs(y))
+            y = y + (need if y >= 0 else -need)
+            if any((x - kx) ** 2 + (y - ky) ** 2 < (3.0 + w) ** 2
+                   for kx, ky in keepout):
+                x += 200.0          # relocate out of lidar range
+            if k == 0:              # car
+                add_box(x, y, G, rng.uniform(1.7, 2.2),
+                        rng.uniform(3.6, 5.0), rng.uniform(1.3, 1.8),
+                        rng.uniform(0, np.pi), 0.15)
+            elif k == 1:            # pole / sign
+                cyl.append((x, y, G, G + rng.uniform(3, 7),
+                            rng.uniform(0.1, 0.3), 0.15))
+            elif k == 2:            # tree: trunk + canopy
+                ht = rng.uniform(2.0, 4.5)
+                rcan = rng.uniform(1.2, 3.0)
+                cyl.append((x, y, G, G + ht, rng.uniform(0.15, 0.4), 0.15))
+                sph.append((x, y, G + ht + 0.6 * rcan, rcan, 0.5))
+            elif k == 3:            # building (random yaw)
+                add_box(x, y, G, rng.uniform(5, 14), rng.uniform(5, 14),
+                        rng.uniform(4, 10), rng.uniform(0, np.pi / 2), 0.35)
+            elif k == 4:            # L-building: main + wing at 90 deg
+                yaw = rng.uniform(0, np.pi / 2)
+                sx, sy = rng.uniform(6, 13), rng.uniform(5, 9)
+                h = rng.uniform(4, 10)
+                add_box(x, y, G, sx, sy, h, yaw, 0.35)
+                # wing attached at one end, rotated frame offset
+                off = (sx / 2) * np.array([np.cos(yaw), np.sin(yaw)])
+                add_box(x + off[0], y + off[1], G, sy * 0.8, sx * 0.7,
+                        h * rng.uniform(0.6, 1.1), yaw, 0.35)
+            elif k == 5:            # silo / tank
+                cyl.append((x, y, G, G + rng.uniform(3, 9),
+                            rng.uniform(1.0, 3.0), 0.25))
+            elif k == 6:            # setback tower: base + smaller top
+                yaw = rng.uniform(0, np.pi / 2)
+                sx, sy = rng.uniform(4.5, 8.5), rng.uniform(4.5, 8.5)
+                hb = rng.uniform(3, 5)
+                add_box(x, y, G, sx, sy, hb, yaw, 0.35)
+                add_box(x + rng.uniform(-1, 1), y + rng.uniform(-1, 1),
+                        G + hb, sx * 0.6, sy * 0.6, rng.uniform(2, 4.5),
+                        yaw + rng.uniform(-0.4, 0.4), 0.35)
+            else:                   # kiosk / shed
+                add_box(x, y, G, rng.uniform(1.5, 3.5),
+                        rng.uniform(1.5, 4.0), rng.uniform(2.0, 3.5),
+                        rng.uniform(0, np.pi), 0.25)
+
+        # ---- articulated street facades along the sensor line: walls
+        # parallel to the road present the SAME face to both sensors —
+        # the co-visible geometry that makes distant-pair registration
+        # possible at all. Irregular per-segment height/depth + irregular
+        # pilaster spacing break the translational self-similarity of a
+        # long flat wall (the aperture problem that capped descriptor
+        # learning in round 4).
+        # two depth bands per side: a near row (storefront scale) and a
+        # tall background row that stays visible over near clutter at
+        # 30-45 m sensor separations (the skyline real streets provide) —
+        # without it, occlusion from the richer clutter drops GT overlap
+        # at d=30 to ~0.3 vs the round-4 world's 0.5
+        for sgn in (-1.0, 1.0):
+            for (ylo, yhi, hlo, hhi, llo, lhi, glo, ghi) in (
+                    (7, 14, 2.5, 9.0, 7, 22, 1.5, 7.0),      # near row
+                    (17, 30, 7.0, 18.0, 10, 30, 1.0, 5.0)):  # background
+                x0 = rng.uniform(-30, -10)
+                while x0 < d + 15:
+                    L = rng.uniform(llo, lhi)
+                    y = sgn * rng.uniform(ylo, yhi)
+                    h = rng.uniform(hlo, hhi)
+                    yaw = rng.normal(0, 0.04)
+                    add_box(x0 + L / 2, y, G, L, 0.6, h, yaw, 0.35)
+                    # pilasters / balconies protruding toward the road at
+                    # irregular positions and heights
+                    px = x0 + rng.uniform(0.5, 3.0)
+                    while px < x0 + L - 0.5:
+                        pd = rng.uniform(0.5, 1.0)
+                        ph = rng.uniform(1.0, h)
+                        z0 = G + (rng.uniform(0, max(0.0, h - ph))
+                                  if rng.random() < 0.35 else 0.0)
+                        add_box(px, y - sgn * (0.2 + pd / 2), z0,
+                                rng.uniform(0.5, 1.4), pd, ph, yaw, 0.25)
+                        px += rng.uniform(1.5, 5.0)
+                    if rng.random() < 0.3:      # corner tower
+                        rt = rng.uniform(0.8, 2.0)
+                        cyl.append((x0 + L + rt, y, G,
+                                    G + h + rng.uniform(1, 4), rt, 0.3))
+                    x0 += L + rng.uniform(glo, ghi)
+
+        return {
+            "obb": np.asarray(obb, np.float64).reshape(-1, 8),
+            "cyl": np.asarray(cyl, np.float64).reshape(-1, 6),
+            "sph": np.asarray(sph, np.float64).reshape(-1, 5),
+        }
 
     @staticmethod
     def _terrain(rng_seed, xy):
@@ -484,8 +585,8 @@ class SyntheticPairDataset(PairDatasetBase):
     @staticmethod
     def _world_texture(rng_seed, pts, n_terms=10):
         """World-anchored unit-RMS displacement field: sum of 3-D vector
-        sinusoids of WORLD position, wavelengths 0.8-6 m (the 1-10 voxel
-        scale local descriptors integrate over).
+        sinusoids of WORLD position, wavelengths log-uniform in 1.2-8 m
+        (the 4-27 voxel scale local descriptors integrate over).
 
         Why it exists (round-4 probe result, proto_match_quality): analytic
         planes + per-scan random scatter give surface patches NO
@@ -512,17 +613,19 @@ class SyntheticPairDataset(PairDatasetBase):
         return disp / np.sqrt(n_terms / 2.0)
 
     @staticmethod
-    def raycast_scan(rng, origin, yaw, boxes, n_beams=64, n_az=2048,
-                     max_range=80.0, terrain_seed=None, box_sigma=None):
+    def raycast_scan(rng, origin, yaw, scene, n_beams=64, n_az=2048,
+                     max_range=80.0, terrain_seed=None):
         """HDL-64E-like scan: n_beams elevation rings x n_az azimuth rays,
-        cast against ground plane (z=-1.7) + world AABBs. Reproduces real
-        LiDAR ring structure and range-dependent density, so voxel counts
-        at 0.3 m match real KITTI scans (~15-25k voxels from ~130k points,
-        SURVEY.md §5 'points-per-cloud scaling') instead of saturating the
-        capacity budget the way uniform synthetic scenes do.
+        cast against ground plane (z=GROUND_Z) + the make_scene primitive
+        soup (yaw-rotated boxes, vertical cylinders, spheres). Reproduces
+        real LiDAR ring structure and range-dependent density, so voxel
+        counts at 0.3 m match real KITTI scans (~15-25k voxels from ~130k
+        points, SURVEY.md §5 'points-per-cloud scaling') instead of
+        saturating the capacity budget the way uniform synthetic scenes do.
 
         Returns sensor-frame points [N, 3] float32 (z up, sensor at z=0).
         """
+        G = SyntheticPairDataset.GROUND_Z
         el = np.deg2rad(np.linspace(-24.9, 2.0, n_beams))
         az = np.linspace(0, 2 * np.pi, n_az, endpoint=False) \
             + rng.uniform(0, 2 * np.pi / n_az)
@@ -533,35 +636,105 @@ class SyntheticPairDataset(PairDatasetBase):
                       np.broadcast_to(se[:, None], (n_beams, n_az))],
                      -1).reshape(-1, 3).astype(np.float32)
         o = np.asarray(origin, np.float64)
-        # prune boxes that cannot be hit (keepout-relocated / out of range)
-        near = ((boxes[:, 0, :2] < o[:2] + max_range)
-                & (boxes[:, 1, :2] > o[:2] - max_range)).all(-1)
-        if box_sigma is not None:
-            box_sigma = box_sigma[near]
-        boxes = boxes[near].astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tg = (-1.7 - o[2]) / d[:, 2]          # ground plane
-            t = np.where((d[:, 2] < 0) & (tg > 0), tg, np.inf)
-            # slab test against all boxes, chunked over rays to keep the
-            # [chunk, M, 3] temporaries cache-resident
-            lo = (boxes[:, 0, :] - o).astype(np.float32)
-            hi = (boxes[:, 1, :] - o).astype(np.float32)
-            kbox = np.zeros(len(d), np.int64)
-            tb = np.empty(len(d), np.float32)
-            for a0 in range(0, len(d), 16384):
-                dc = d[a0:a0 + 16384]
-                inv = 1.0 / dc
-                t1 = lo[None] * inv[:, None, :]
-                t2 = hi[None] * inv[:, None, :]
-                tn = np.minimum(t1, t2).max(-1)
-                tf = np.maximum(t1, t2).min(-1)
-                tn = np.where((tf >= tn) & (tf > 0),
-                              np.maximum(tn, 0.0), np.inf)
-                k = np.argmin(tn, -1)
-                kbox[a0:a0 + 16384] = k
-                tb[a0:a0 + 16384] = tn[np.arange(len(tn)), k]
-        ground_hit = t <= tb                  # ground won (vs any box)
-        t = np.minimum(t, tb)
+
+        def near_xy(cx, cy, r):
+            return (np.abs(cx - o[0]) < max_range + r) \
+                & (np.abs(cy - o[1]) < max_range + r)
+
+        # prune primitives that cannot be hit (keepout-relocated / far)
+        obb = scene["obb"]
+        obb = obb[near_xy(obb[:, 0], obb[:, 1],
+                          np.hypot(obb[:, 3], obb[:, 4]))].astype(np.float32)
+        cy_ = scene["cyl"]
+        cy_ = cy_[near_xy(cy_[:, 0], cy_[:, 1], cy_[:, 4])].astype(np.float32)
+        sp = scene["sph"]
+        sp = sp[near_xy(sp[:, 0], sp[:, 1], sp[:, 3])].astype(np.float32)
+
+        # OBB precompute: origin in each box frame (ct, st per box)
+        bct, bst = np.cos(obb[:, 6]), np.sin(obb[:, 6])
+        rx = (o[0] - obb[:, 0]).astype(np.float32)
+        ry = (o[1] - obb[:, 1]).astype(np.float32)
+        oxp = rx * bct + ry * bst
+        oyp = -rx * bst + ry * bct
+        ozp = (o[2] - obb[:, 2]).astype(np.float32)
+        hx, hy, hz = obb[:, 3], obb[:, 4], obb[:, 5]
+        # cylinder precompute
+        qx = (o[0] - cy_[:, 0]).astype(np.float32)
+        qy = (o[1] - cy_[:, 1]).astype(np.float32)
+        cc = qx * qx + qy * qy - cy_[:, 4] ** 2
+        # sphere precompute
+        sq = (np.asarray(o, np.float32)[None, :] - sp[:, :3])
+        sc = (sq * sq).sum(-1) - sp[:, 3] ** 2
+
+        n_rays = len(d)
+        tb = np.full(n_rays, np.inf, np.float32)      # best primitive t
+        sig = np.full(n_rays, 0.15, np.float32)       # its texture sigma
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            tg = (G - o[2]) / d[:, 2]                 # ground plane
+            tgnd = np.where((d[:, 2] < 0) & (tg > 0), tg,
+                            np.inf).astype(np.float32)
+            for a0 in range(0, n_rays, 4096):
+                dc = d[a0:a0 + 4096]
+                dx, dy, dz = dc[:, 0:1], dc[:, 1:2], dc[:, 2:3]
+                tbest = np.full(len(dc), np.inf, np.float32)
+                sbest = np.zeros(len(dc), np.float32)
+
+                def consider(tcand, sigma_rows):
+                    nonlocal tbest, sbest
+                    k = np.argmin(tcand, -1)
+                    tk = tcand[np.arange(len(tcand)), k]
+                    take = tk < tbest
+                    tbest = np.where(take, tk, tbest)
+                    sbest = np.where(take, sigma_rows[k], sbest)
+
+                if len(obb):
+                    # ray dir in each box frame; slab test per axis
+                    dxp = dx * bct + dy * bst
+                    dyp = -dx * bst + dy * bct
+                    t1 = (-hx - oxp) / dxp
+                    t2 = (hx - oxp) / dxp
+                    tn = np.minimum(t1, t2)
+                    tf = np.maximum(t1, t2)
+                    t1 = (-hy - oyp) / dyp
+                    t2 = (hy - oyp) / dyp
+                    np.maximum(tn, np.minimum(t1, t2), out=tn)
+                    np.minimum(tf, np.maximum(t1, t2), out=tf)
+                    t1 = (-hz - ozp) / dz
+                    t2 = (hz - ozp) / dz
+                    np.maximum(tn, np.minimum(t1, t2), out=tn)
+                    np.minimum(tf, np.maximum(t1, t2), out=tf)
+                    tn = np.where((tf >= tn) & (tf > 0),
+                                  np.maximum(tn, 0.0), np.inf)
+                    consider(tn, obb[:, 7])
+                if len(cy_):
+                    a = dx * dx + dy * dy            # [A,1]
+                    b = 2.0 * (dx * qx + dy * qy)    # [A,K]
+                    disc = b * b - 4.0 * a * cc
+                    root = np.sqrt(np.maximum(disc, 0.0))
+                    ts = (-b - root) / (2.0 * a)
+                    zhit = o[2] + ts * dz
+                    ok = (disc > 0) & (ts > 0) \
+                        & (zhit >= cy_[:, 2]) & (zhit <= cy_[:, 3])
+                    ts = np.where(ok, ts, np.inf)
+                    # top cap (rays looking down onto short cylinders)
+                    tc = (cy_[:, 3] - o[2]) / dz
+                    capx = o[0] + tc * dx - cy_[:, 0]
+                    capy = o[1] + tc * dy - cy_[:, 1]
+                    okc = (tc > 0) & (capx ** 2 + capy ** 2
+                                      <= cy_[:, 4] ** 2)
+                    consider(np.minimum(ts, np.where(okc, tc, np.inf)),
+                             cy_[:, 5])
+                if len(sp):
+                    b = 2.0 * (dc @ sq.T)            # [A,S]
+                    disc = b * b - 4.0 * sc
+                    root = np.sqrt(np.maximum(disc, 0.0))
+                    ts = (-b - root) * 0.5
+                    consider(np.where((disc > 0) & (ts > 0), ts, np.inf),
+                             sp[:, 4])
+                tb[a0:a0 + 4096] = tbest
+                sig[a0:a0 + 4096] = sbest
+        ground_hit = tgnd <= tb               # ground won (vs any primitive)
+        t = np.minimum(tgnd, tb)
         hit = (t > 2.0) & (t < max_range)
         pts = o + t[hit, None] * d[hit]
         if terrain_seed is not None:
@@ -573,10 +746,7 @@ class SyntheticPairDataset(PairDatasetBase):
         # a deterministic f(world position) field, so BOTH scans displace
         # the same world surface identically — the view-consistent local
         # signature descriptors train on (see _world_texture docstring)
-        amp = np.full(len(pts), 0.15)   # ground: curb/rut scale (>= voxel/2)
-        if box_sigma is not None:
-            bh = ~ground_hit[hit]
-            amp[bh] = box_sigma[kbox[hit][bh]]
+        amp = np.where(ground_hit[hit], np.float32(0.15), sig[hit])
         if terrain_seed is not None:
             pts = pts + SyntheticPairDataset._world_texture(
                 terrain_seed + 1, pts) * amp[:, None]
@@ -641,25 +811,8 @@ class SyntheticPairDataset(PairDatasetBase):
         pre-augmentation (cacheable)."""
         rng = np.random.default_rng(self.seed0 + idx)
         d = self._item_dist(idx, rng)
-        # boxes centered between the two poses so both scans see structure
-        boxes, sigma = self.make_boxes(rng, keepout=((-d / 2, 0), (d / 2, 0)))
-        boxes[:, :, 0] += d / 2
-        # street facades along the sensor line: walls parallel to the road
-        # present the SAME face to both sensors — the geometry that makes
-        # distant-pair registration possible at all (box sides and ground
-        # rings are view-dependent and barely co-visible at 45 m)
-        walls = []
-        for sgn in (-1.0, 1.0):
-            x0 = rng.uniform(-25, -5)
-            while x0 < d + 10:
-                length = rng.uniform(8, 30)
-                y = sgn * rng.uniform(7, 18)
-                h = rng.uniform(2.5, 8.0)
-                walls.append([[x0, min(y, y + sgn * 0.6), -1.7],
-                              [x0 + length, max(y, y + sgn * 0.6), -1.7 + h]])
-                x0 += length + rng.uniform(2, 12)
-        boxes = np.concatenate([boxes, np.asarray(walls, np.float64)], 0)
-        sigma = np.concatenate([sigma, np.full(len(walls), 0.35)])
+        # scene centered between the two poses so both scans see structure
+        scene = self.make_scene(rng, d, keepout=((0.0, 0.0), (d, 0.0)))
         # relative pose grows with travel distance (curving-road model):
         # adjacent frames (d~1 m) differ by <0.5 deg yaw / cm-level lateral
         # drift like real 10 Hz KITTI frames — the regime where the
@@ -677,10 +830,9 @@ class SyntheticPairDataset(PairDatasetBase):
         n_az = max(64, self.n_points // 64)
 
         def scan(pose, pyaw):
-            pts = self.raycast_scan(rng, pose[:3, 3], pyaw, boxes,
+            pts = self.raycast_scan(rng, pose[:3, 3], pyaw, scene,
                                     n_az=n_az,
-                                    terrain_seed=self.seed0 + 6000 + idx,
-                                    box_sigma=sigma)
+                                    terrain_seed=self.seed0 + 6000 + idx)
             if len(pts) > self.n_points:
                 pts = pts[rng.permutation(len(pts))[: self.n_points]]
             return pts

@@ -268,7 +268,8 @@ def kabsch_qcp(
     c2, c1, c0 = _qcp_quartic_coeffs(Hn)
     q = qcp_leading_quaternion(N4, c2, c1, c0, lam_upper)
     R = quat_to_rotmat(q)
-    t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A)
+    t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A,
+                                precision=jax.lax.Precision.HIGHEST)
     from eyoc_tpu.geometry.se3 import integrate_trans
 
     return integrate_trans(R, t)
@@ -296,8 +297,12 @@ def kabsch(
     centroid_B = jnp.sum(B * weights[..., None], axis=-2) / wsum
     Am = A - centroid_A[..., None, :]
     Bm = B - centroid_B[..., None, :]
-    # H = Amᵀ diag(w) Bm
-    H = jnp.einsum("...ni,...n,...nj->...ij", Am, weights, Bm)
+    # H = Amᵀ diag(w) Bm — pinned HIGHEST: at LiDAR coordinate scale the
+    # TPU bf16 matmul default puts meter-class noise on the cross
+    # covariance and the translation (the round-4 failure class;
+    # PERF_NOTES "Round 4 session B")
+    H = jnp.einsum("...ni,...n,...nj->...ij", Am, weights, Bm,
+                   precision=jax.lax.Precision.HIGHEST)
     # Normalize scale for numerical stability of the eigen solve.
     scale = jnp.maximum(jnp.max(jnp.abs(H), axis=(-1, -2), keepdims=True), 1e-12)
     N4 = _horn_profile_matrix(H / scale)
@@ -305,7 +310,8 @@ def kabsch(
     idx = jnp.argmax(evals, axis=-1)
     q = jnp.take_along_axis(evecs, idx[..., None, None].repeat(4, -2), axis=-1)[..., 0]
     R = quat_to_rotmat(q)
-    t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A)
+    t = centroid_B - jnp.einsum("...ij,...j->...i", R, centroid_A,
+                                precision=jax.lax.Precision.HIGHEST)
     from eyoc_tpu.geometry.se3 import integrate_trans
 
     return integrate_trans(R, t)

@@ -71,10 +71,22 @@ def _edge_ok(s3, t3, ratio_lo):
 
 
 def _count_inliers(hyp_trans, src, tgt, valid, thresh, chunk):
-    """[H] inlier counts of each hypothesis over (src, tgt, valid)."""
+    """[H] inlier counts of each hypothesis over (src, tgt, valid).
+
+    Any (H, chunk) combination works: H is padded up to a whole number of
+    `chunk`-row tiles (identity-transform rows, counts sliced away), so
+    non-power-of-two `num_hypotheses` / `full_verify_top` values cannot
+    hit a trace-time reshape error."""
     H = hyp_trans.shape[0]
-    chunks = max(1, H // chunk)
-    tr_c = hyp_trans.reshape(chunks, H // chunks, 4, 4)
+    rows = max(1, min(chunk, H))
+    chunks = -(-H // rows)
+    pad = chunks * rows - H
+    if pad:
+        hyp_trans = jnp.concatenate(
+            [hyp_trans,
+             jnp.broadcast_to(jnp.eye(4, dtype=hyp_trans.dtype),
+                              (pad, 4, 4))], 0)
+    tr_c = hyp_trans.reshape(chunks, rows, 4, 4)
 
     def count_chunk(tr):
         # HIGHEST: bf16 rotation application is +-0.3 m at LiDAR scale —
@@ -84,7 +96,7 @@ def _count_inliers(hyp_trans, src, tgt, valid, thresh, chunk):
         d2 = jnp.sum((pred - tgt[None]) ** 2, axis=-1)
         return jnp.sum(((d2 < thresh * thresh) & valid[None]).astype(jnp.float32), -1)
 
-    return jax.lax.map(count_chunk, tr_c).reshape(H)
+    return jax.lax.map(count_chunk, tr_c).reshape(chunks * rows)[:H]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from eyoc_tpu.geometry.metrics import pdist
+from eyoc_tpu.geometry.metrics import pdist, pdist2
 
 
 def _sample_valid(key, mask, n):
@@ -40,7 +40,9 @@ def _member_of(sorted_keys, query):
     return jnp.take(sorted_keys, pos) == query
 
 
-@functools.partial(jax.jit, static_argnames=("num_pos", "num_hn_samples"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_pos", "num_hn_samples",
+                                    "safe_radius"))
 def hardest_contrastive_loss(
     F0: jnp.ndarray,
     mask0: jnp.ndarray,
@@ -55,9 +57,24 @@ def hardest_contrastive_loss(
     num_hn_samples: int = 2048,
     pos_thresh: float = 0.1,
     neg_thresh: float = 1.4,
+    xyz0: jnp.ndarray | None = None,
+    xyz1: jnp.ndarray | None = None,
+    safe_radius: float = 0.0,
 ):
     """F0/F1: [N, C] collated features (pad rows zero); masks [N];
     pos_i/pos_j: [P] flat positive indices with validity pos_valid.
+
+    safe_radius > 0 (needs xyz0/xyz1, the [N, 3] collated voxel coords):
+    exclude candidate negatives spatially within `safe_radius` meters of
+    the anchor's positive PARTNER in the same cloud from hardest-negative
+    mining. The reference only hash-masks the exact sampled (i, j)
+    positive pairs (lib/trainer.py:470-480), which on self-similar
+    geometry leaves the mined hardest negative frequently a geometric
+    duplicate of the true correspondence — a false negative whose hinge
+    gradient is amplified noise (the round-5 collapse diagnosis,
+    proto/proto_collapse_diag.py). The check is pose-free: the partner
+    and the candidate negative live in the same cloud. 0.0 = exact
+    reference semantics.
 
     Returns (pos_loss, neg_loss) scalars.
     """
@@ -79,6 +96,17 @@ def hardest_contrastive_loss(
 
     D01 = pdist(posF0, subF1)  # [num_pos, num_hn]
     D10 = pdist(posF1, subF0)
+    if safe_radius > 0.0 and xyz0 is not None and xyz1 is not None:
+        big = jnp.float32(1e9)
+        r2 = jnp.float32(safe_radius * safe_radius)
+        # candidates near the anchor's partner x1[pj] are false negatives
+        # for direction 0->1 (and symmetrically x0[pi] for 1->0)
+        near1 = pdist2(jnp.take(xyz1, pj, axis=0),
+                       jnp.take(xyz1, sel1, axis=0)) < r2
+        near0 = pdist2(jnp.take(xyz0, pi, axis=0),
+                       jnp.take(xyz0, sel0, axis=0)) < r2
+        D01 = jnp.where(near1, big, D01)
+        D10 = jnp.where(near0, big, D10)
     D01min = jnp.min(D01, axis=1)
     D01ind = jnp.argmin(D01, axis=1)
     D10min = jnp.min(D10, axis=1)

@@ -46,6 +46,7 @@ from eyoc_tpu.training.optim import (
     SGDState,
     adam_init,
     adam_update,
+    adamw_update,
     sgd_init,
     sgd_update,
 )
@@ -68,7 +69,8 @@ class TrainState(NamedTuple):
 
 
 def init_train_state(params, bn_state, key, optimizer: str = "SGD") -> TrainState:
-    init = adam_init if optimizer == "Adam" else sgd_init
+    # Adam and AdamW share AdamState
+    init = adam_init if optimizer in ("Adam", "AdamW") else sgd_init
     return TrainState(
         params=params,
         bn_state=bn_state,
@@ -128,6 +130,18 @@ class StepConfig:
     # lib/trainer.py:80-84); published runs use SGD
     optimizer: str = "SGD"
     adam_betas: tuple = (0.9, 0.999)
+    # dp>1 only: synchronize the frozen labeler's train-mode BN stats over
+    # the dp axis (exact reference single-process labeling semantics) at
+    # the cost of ~75 extra psums/step; default False = device-local
+    # labeler stats (see _forward docstring for the measured divergence)
+    labeler_sync_bn: bool = False
+    # hardest-negative mining safe radius (meters): exclude candidate
+    # negatives spatially within this distance of the anchor's positive
+    # partner (same-cloud check, pose-free). 0.0 = exact reference
+    # semantics (hash mask of sampled positive pairs only); >0 prevents
+    # the false-negative amplification that collapses descriptor training
+    # on self-similar geometry (loss.py hardest_contrastive_loss docs)
+    hn_safe_radius: float = 0.0
     # Jitter input-feature noise (reference lib/transforms.py:18-30,
     # applied in train phases at lib/data_loaders.py:1827-1830)
     use_jitter: bool = True
@@ -163,10 +177,21 @@ class StepBuilder:
         """Forward over a folded brick pyramid; returns ([B*cap, C], state).
 
         sync_bn=False runs train-mode BN with device-local batch stats
-        even under a dp axis — used for the frozen labeler forwards, whose
-        stats the reference computes in one process and we discard anyway
-        (lib/trainer.py:1575-1581); skipping their ~75 per-layer psums
-        halves the step's collective count."""
+        even under a dp axis — the default for the frozen labeler
+        forwards (lib/trainer.py:1575-1581); skipping their ~75 per-layer
+        psums halves the step's collective count. NB this is more than
+        discarding state updates: under dp>1 the labeler's normalization
+        (and therefore its FEATURES, and the pseudo-labels built from
+        them) depends on the device-local shard statistics, so dp>1
+        extension training does not reproduce the dp=1 / reference
+        single-process labeling — measured divergence of the
+        L2-normalized labeler features is O(0.1-0.4) per point at
+        2-cloud shards (tests/test_parallel.py::TestLabelerLocalBN pins
+        it). The tradeoff is accepted by default because labels are not
+        raw features: they pass mutual-NN matching within each pair plus
+        the SC2-PCR geometric gate. Set StepConfig.labeler_sync_bn=True
+        to restore exact reference labeling semantics under dp at the
+        cost of ~75 extra psums/step."""
         c = self.cfg
         # fold count (static): L0 brick rows are laid out per cloud at
         # caps[1] bricks each (sparse/bricks.py: NBtot = B * brick_cap)
@@ -205,7 +230,8 @@ class StepBuilder:
 
     # ----------------------------------------------------------- loss core
 
-    def _metric_loss(self, f0, m0, f1, m1, pos_i, pos_j, pos_valid, key):
+    def _metric_loss(self, f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                     xyz0=None, xyz1=None):
         """Dispatch on cfg.loss_kind; returns (loss, pos_term, neg_term)."""
         c = self.cfg
         if c.loss_kind == "hardest_contrastive":
@@ -213,6 +239,7 @@ class StepBuilder:
                 f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
                 num_pos=c.num_pos, num_hn_samples=c.num_hn_samples,
                 pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
+                xyz0=xyz0, xyz1=xyz1, safe_radius=c.hn_safe_radius,
             )
             return pos_loss + c.neg_weight * neg_loss, pos_loss, neg_loss
         if c.loss_kind == "contrastive":
@@ -251,7 +278,7 @@ class StepBuilder:
         return 1.0 + noise * per_row[:, None]
 
     def _grads(self, params, bn_state, pyr0, pyr1, pos_flat, key,
-               in0=None, in1=None):
+               in0=None, in1=None, xyz0=None, xyz1=None):
         c = self.cfg
         pos_i, pos_j, pos_valid = pos_flat
 
@@ -263,7 +290,8 @@ class StepBuilder:
             m0 = pyr0.vox_masks[0]
             m1 = pyr1.vox_masks[0]
             loss, pos_loss, neg_loss = self._metric_loss(
-                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key)
+                f0, m0, f1, m1, pos_i, pos_j, pos_valid, key,
+                xyz0=xyz0, xyz1=xyz1)
             return loss, (ns1, pos_loss, neg_loss)
 
         (loss, (new_bn, pos_loss, neg_loss)), grads = jax.value_and_grad(
@@ -276,8 +304,9 @@ class StepBuilder:
         c = self.cfg
         if c.axis_name is not None:
             grads = jax.lax.pmean(grads, c.axis_name)
-        if c.optimizer == "Adam":
-            new_params, new_opt = adam_update(
+        if c.optimizer in ("Adam", "AdamW"):
+            upd = adam_update if c.optimizer == "Adam" else adamw_update
+            new_params, new_opt = upd(
                 state.params, grads, state.opt,
                 lr=lr, betas=c.adam_betas, weight_decay=c.weight_decay,
             )
@@ -362,7 +391,8 @@ class StepBuilder:
             grads, new_bn, metrics = self._grads(
                 params, bn_state, pyr0, pyr1, pos_flat, key,
                 in0=self._jitter(k_j0, B, n_rows),
-                in1=self._jitter(k_j1, B, n_rows))
+                in1=self._jitter(k_j1, B, n_rows),
+                xyz0=vox0.xyz.reshape(-1, 3), xyz1=vox1.xyz.reshape(-1, 3))
             metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
             return grads, new_bn, metrics
 
@@ -431,13 +461,15 @@ class StepBuilder:
             # never-.eval()'d labeler; its state updates are discarded);
             # sees the same jittered inputs as the student (the reference
             # jitters the dataset features once for both forwards).
-            # sync_bn=False: device-local labeler stats (see _forward)
+            # sync_bn: device-local labeler stats by default (see
+            # _forward docstring; labeler_sync_bn=True restores exact
+            # reference labeling under dp)
             F0L, _ = self._forward(labeler_params, labeler_bn_state,
                                    pyr0, training=True, in_feats=in0,
-                                   sync_bn=False)
+                                   sync_bn=c.labeler_sync_bn)
             F1L, _ = self._forward(labeler_params, labeler_bn_state,
                                    pyr1, training=True, in_feats=in1,
-                                   sync_bn=False)
+                                   sync_bn=c.labeler_sync_bn)
             B, cap = vox0.mask.shape
             F0L = jax.lax.stop_gradient(F0L).reshape(B, cap, -1)
             F1L = jax.lax.stop_gradient(F1L).reshape(B, cap, -1)
@@ -450,7 +482,8 @@ class StepBuilder:
             pos_flat = flatten_pairs(pos_i, pos_j, ok, c.caps[0], c.caps[0])
             grads, new_bn, metrics = self._grads(
                 params, bn_state, pyr0, pyr1, pos_flat, k_loss,
-                in0=in0, in1=in1)
+                in0=in0, in1=in1,
+                xyz0=vox0.xyz.reshape(-1, 3), xyz1=vox1.xyz.reshape(-1, 3))
             metrics["labeler_hit_ratio"] = jnp.mean(labeler_hits)
             metrics["num_pos_found"] = jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32)
             return grads, new_bn, metrics

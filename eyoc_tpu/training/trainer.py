@@ -91,6 +91,8 @@ def build_step_config(config: Config, spec, *, axis_name=None,
         optimizer=config.get("optimizer", "SGD"),
         adam_betas=(config.get("adam_beta1", 0.9), config.get("adam_beta2", 0.999)),
         use_jitter=bool(config.get("use_jitter", True)),
+        labeler_sync_bn=bool(config.get("labeler_sync_bn", False)),
+        hn_safe_radius=float(config.get("hn_safe_radius", 0.0)),
     )
 
 
@@ -105,10 +107,10 @@ class AlignmentTrainer:
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
         # fail fast on bad configs (before any model compilation)
-        if config.get("optimizer", "SGD") not in ("SGD", "Adam"):
+        if config.get("optimizer", "SGD") not in ("SGD", "Adam", "AdamW"):
             raise ValueError(
                 f"unknown optimizer {config.get('optimizer')!r}; "
-                "available: SGD, Adam")
+                "available: SGD, Adam, AdamW")
         self.dp = dp_device_count(config)
         if self.dp > 1 and config.batch_size % self.dp != 0:
             raise ValueError(

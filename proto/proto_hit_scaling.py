@@ -39,9 +39,20 @@ def main():
     p.add_argument("--probe_every", type=int, default=500)
     p.add_argument("--points", type=int, default=65536)
     p.add_argument("--label", default="gt", choices=["gt", "identity"])
-    p.add_argument("--optimizer", default="SGD", choices=["SGD", "Adam"])
+    p.add_argument("--optimizer", default="SGD",
+                   choices=["SGD", "Adam", "AdamW"])
+    p.add_argument("--loss", default="hardest_contrastive",
+                   choices=["hardest_contrastive", "contrastive",
+                            "triplet", "hardest_triplet"])
+    p.add_argument("--safe_radius", type=float, default=0.0)
+    p.add_argument("--warmup_contrastive", type=int, default=0,
+                   help="train this many steps with the random-negative "
+                        "contrastive loss before switching to --loss "
+                        "(curriculum: build structure before mining)")
     p.add_argument("--dmin", type=float, default=2.0)
     p.add_argument("--dmax", type=float, default=10.0)
+    p.add_argument("--eval_dists", default="4,10,15",
+                   help="comma list of held-out eval distances (m)")
     args = p.parse_args()
 
     import jax
@@ -57,11 +68,20 @@ def main():
 
     spec = load_model("ResUNetBN2C")
     caps = (16384, 10240, 4096, 2048)
-    b = StepBuilder(StepConfig(
-        spec=spec, caps=caps, voxel_size=0.3, conv1_kernel_size=5,
-        num_pos=1024 * args.bs, num_hn_samples=256 * args.bs,
-        knn_tile=2048, optimizer=args.optimizer))
-    train = b.make_base_train_step(args.label)
+
+    def make_train(loss_kind):
+        b = StepBuilder(StepConfig(
+            spec=spec, caps=caps, voxel_size=0.3, conv1_kernel_size=5,
+            num_pos=1024 * args.bs, num_hn_samples=256 * args.bs,
+            knn_tile=2048, optimizer=args.optimizer, loss_kind=loss_kind,
+            hn_safe_radius=args.safe_radius))
+        return b, b.make_base_train_step(args.label)
+
+    b, train = make_train(args.loss)
+    if args.warmup_contrastive > 0 and args.loss != "contrastive":
+        _, warm_train = make_train("contrastive")
+    else:
+        warm_train = train
     embed = b.make_embed_step()
     params, bn = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
     state = init_train_state(params, bn, jax.random.PRNGKey(1),
@@ -87,7 +107,7 @@ def main():
     from eyoc_tpu.data.loader import collate_items
     evals = []
     eval_d = []
-    for d in (4.0, 10.0, 15.0):
+    for d in tuple(float(x) for x in args.eval_dists.split(",")):
         ds = SyntheticPairDataset("test", cfg, n_pairs=3,
                                   n_points=args.points, dist=d,
                                   random_rotation=False, random_scale=False)
@@ -124,7 +144,8 @@ def main():
         if s > 0 and s % args.refresh_every == 0:
             pool = make_pool(s)
         lr = exp_lr(args.lr, args.exp_gamma, 1 + s // 160)
-        state, m = train(state, pool[s % len(pool)], lr)
+        step_fn = warm_train if s < args.warmup_contrastive else train
+        state, m = step_fn(state, pool[s % len(pool)], lr)
         if s % 200 == 0:
             print(f"step {s} loss={float(m['loss']):.3f} "
                   f"pos={float(m['pos_loss']):.4f} "

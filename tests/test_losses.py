@@ -131,6 +131,39 @@ class TestAdam:
         np.testing.assert_allclose(np.asarray(params["w"]),
                                    tp.detach().numpy(), rtol=1e-5, atol=1e-6)
 
+    def test_matches_torch_adamw(self):
+        import torch
+        from eyoc_tpu.training.optim import adam_init, adamw_update
+
+        rng = np.random.default_rng(1)
+        p0 = rng.standard_normal((5, 3)).astype(np.float32)
+        params = {"w": jnp.asarray(p0)}
+        state = adam_init(params)
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        opt = torch.optim.AdamW([tp], lr=1e-2, weight_decay=1e-2)
+        for step in range(5):
+            g = rng.standard_normal((5, 3)).astype(np.float32)
+            params, state = adamw_update(
+                params, {"w": jnp.asarray(g)}, state, lr=1e-2,
+                weight_decay=1e-2)
+            opt.zero_grad()
+            tp.grad = torch.from_numpy(g.copy())
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_adamw_decouples_decay(self):
+        """Adam folds wd into the gradient (moments see it); AdamW must
+        not: with zero gradients AdamW shrinks params geometrically."""
+        from eyoc_tpu.training.optim import adam_init, adamw_update
+
+        params = {"w": jnp.ones((3,))}
+        state = adam_init(params)
+        z = {"w": jnp.zeros((3,))}
+        params, state = adamw_update(params, z, state, lr=0.5,
+                                     weight_decay=0.1)
+        np.testing.assert_allclose(np.asarray(params["w"]), 0.95, atol=1e-6)
+
 
 class TestJitter:
     def test_jitter_shape_and_gating(self):

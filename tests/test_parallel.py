@@ -80,6 +80,70 @@ class TestSyncBN:
             rtol=1e-4, atol=1e-5)
 
 
+class TestLabelerLocalBN:
+    def test_dp_local_bn_divergence_is_bounded(self):
+        """The frozen labeler runs train-mode BN with device-LOCAL stats
+        under dp by default (steps.py _forward sync_bn=False): its
+        features — and the pseudo-labels built from them — therefore
+        depend on the shard, unlike the reference's single-process
+        labeler. This test DOCUMENTS the magnitude rather than hiding
+        it: at random init with 2-cloud shards the per-point L2
+        divergence of the normalized features is substantial (measured
+        mean ~0.4 of a unit feature). The tradeoff is accepted because
+        labels pass mutual-NN matching + the SC2-PCR geometric gate, and
+        StepConfig.labeler_sync_bn=True restores exact reference
+        labeling semantics (divergence exactly 0, also asserted)."""
+        B = 8
+        xyz, counts = _clouds(B, seed=4)
+        spec = load_model("ResUNetBN2C")
+        params, bn_state = init_unet(spec, jax.random.PRNGKey(0), 1, 32, 5)
+        mesh = make_mesh(4)
+
+        def fwd(params, bn_state, x, n, axis):
+            vox, pyr = preprocess_clouds(
+                x, n, caps=CAPS, voxel_size=0.3, window_bits=BITS)
+            f, _ = apply_unet(spec, params, bn_state, pyr, training=True,
+                              conv1_kernel_size=5, axis_name=axis,
+                              normalize_feature=True)
+            return f.reshape(x.shape[0], CAPS[0], 32), vox.mask
+
+        f_full, m_full = jax.jit(
+            lambda p, s, x, n: fwd(p, s, x, n, None))(
+            params, bn_state, jnp.asarray(xyz), jnp.asarray(counts))
+
+        # dp=4 x 2 clouds, axis_name=None inside the shard = LOCAL stats
+        # (exactly what sync_bn=False resolves to in StepBuilder._forward)
+        sharded = jax.shard_map(
+            lambda p, s, x, n: fwd(p, s, x, n, None),
+            mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")), check_vma=False)
+        f_dp, m_dp = jax.jit(sharded)(
+            params, bn_state, jnp.asarray(xyz), jnp.asarray(counts))
+
+        np.testing.assert_array_equal(np.asarray(m_full), np.asarray(m_dp))
+        mask = np.asarray(m_full)
+        diff = np.linalg.norm(
+            np.asarray(f_dp)[mask] - np.asarray(f_full)[mask], axis=-1)
+        # genuinely divergent (local != global stats): this is the
+        # documented cost of the default labeler_sync_bn=False
+        assert diff.mean() > 1e-3, "expected local-BN divergence"
+        # unit features bound the divergence at 2; keep it away from the
+        # anti-correlated extreme
+        assert diff.max() < 1.5, f"labeler local-BN divergence {diff.max()}"
+
+        # sync_bn path (labeler_sync_bn=True semantics): psum'd stats
+        # reproduce the serial full-batch features exactly
+        sharded_sync = jax.shard_map(
+            lambda p, s, x, n: fwd(p, s, x, n, "dp"),
+            mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")), check_vma=False)
+        f_sync, m_sync = jax.jit(sharded_sync)(
+            params, bn_state, jnp.asarray(xyz), jnp.asarray(counts))
+        np.testing.assert_allclose(
+            np.asarray(f_sync)[mask], np.asarray(f_full)[mask],
+            rtol=1e-4, atol=1e-4)
+
+
 class TestEvalDP:
     def test_dp4_eval_equals_serial(self):
         """Sharded embed+register (cli.test dp path) must reproduce the

@@ -15,10 +15,21 @@ import jax.numpy as jnp
 import pytest
 
 
+def _unpinned_dots(txt):
+    """Lines of lowered StableHLO whose dot_general carries DEFAULT
+    operand precision (spelled `precision = [DEFAULT, DEFAULT]` on this
+    jax version). One surviving HIGHEST pin must not mask removal of the
+    others, so the check is per-dot, not a global substring."""
+    return [ln.strip()[:160] for ln in txt.splitlines()
+            if "dot_general" in ln and "DEFAULT" in ln]
+
+
 def _hlo_has_highest_dot(fn, *args):
+    """All dots pinned HIGHEST, and at least one dot present."""
     txt = jax.jit(fn).lower(*args).as_text()
-    # StableHLO spells operand precision as HIGHEST in dot_general's
-    # precision_config; accept either spelling across jax versions
+    bad = _unpinned_dots(txt)
+    assert not bad, "unpinned dot_general under degraded default:\n" + \
+        "\n".join(bad)
     return ("HIGHEST" in txt) and ("dot" in txt)
 
 
@@ -72,6 +83,39 @@ class TestPrecisionPins:
             lambda s, t, v: sc2_pcr(s, t, v, cfg)).lower(
                 src, tgt, valid).as_text()
         assert "HIGHEST" in txt
+        bad = _unpinned_dots(txt)
+        assert not bad, "unpinned dot_general in sc2_pcr:\n" + "\n".join(bad)
+
+    def test_kabsch_pins_highest(self, degraded_default):
+        """Plain (Jacobi) kabsch is the solver RANSAC uses for every
+        hypothesis solve and polish — it must pin exactly like kabsch_qcp
+        (round-5 ADVICE item: it previously left the cross-covariance
+        einsum and translation matvec at default precision)."""
+        from eyoc_tpu.geometry.svd3 import kabsch, kabsch_qcp
+
+        a = jnp.zeros((32, 3))
+        b = jnp.zeros((32, 3))
+        w = jnp.ones((32,))
+        assert _hlo_has_highest_dot(kabsch, a, b, w)
+        assert _hlo_has_highest_dot(kabsch_qcp, a, b, w)
+
+    def test_ransac_full_pins_highest(self, degraded_default):
+        """The whole ransac_registration lowering (hypothesis solves via
+        plain kabsch + counting + polish) must carry no DEFAULT dot."""
+        from eyoc_tpu.registration.ransac import (RansacConfig,
+                                                  ransac_registration)
+
+        src = jnp.zeros((64, 3))
+        tgt = jnp.zeros((64, 3))
+        valid = jnp.ones((64,), bool)
+        cfg = RansacConfig(num_hypotheses=64, full_verify_top=16,
+                           hyp_chunk=32)
+        txt = jax.jit(
+            lambda s, t, v: ransac_registration(
+                s, t, v, jax.random.PRNGKey(0), cfg)).lower(
+                    src, tgt, valid).as_text()
+        bad = _unpinned_dots(txt)
+        assert not bad, "unpinned dot_general in ransac:\n" + "\n".join(bad)
 
     def test_exactness_at_coordinate_scale(self):
         """End-to-end numeric check (runs f32-exact on any backend): the
