@@ -18,7 +18,12 @@ from eyoc_tpu.geometry.se3 import rot_x, rot_y, rot_z
 
 def _small_angle_trans(x: jnp.ndarray) -> jnp.ndarray:
     """x: [6] twist (rx, ry, rz, tx, ty, tz) -> 4x4 (reference get_trans)."""
-    R = rot_z(x[2]) @ rot_y(x[1]) @ rot_x(x[0])
+    # HIGHEST: bf16 rotation-compose entries carry ~4e-3 rad of noise —
+    # at the RRE 5 deg (0.087 rad) success scale, not free
+    R = jnp.matmul(
+        jnp.matmul(rot_z(x[2]), rot_y(x[1]),
+                   precision=jax.lax.Precision.HIGHEST),
+        rot_x(x[0]), precision=jax.lax.Precision.HIGHEST)
     T = jnp.eye(4, dtype=x.dtype)
     T = T.at[:3, :3].set(R)
     T = T.at[:3, 3].set(x[3:6])
@@ -91,7 +96,9 @@ def est_quad_linear_robust(
             pts0_curr, trans_curr[:3, :3].T,
             precision=jax.lax.Precision.HIGHEST) + trans_curr[:3, 3]
         w = par / (jnp.linalg.norm(pts0_curr - pts1, axis=1) + par) * valid
-        trans = trans_curr @ trans
+        # HIGHEST: the 4x4 compose carries LiDAR-scale translations
+        trans = jnp.matmul(trans_curr, trans,
+                           precision=jax.lax.Precision.HIGHEST)
         return pts0_curr, w, trans, par
 
     carry = (pts0, weight, jnp.eye(4, dtype=jnp.float32), jnp.float32(1.0))

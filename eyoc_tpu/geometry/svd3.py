@@ -57,8 +57,13 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = _JACOBI_SWEEPS):
         G = G.at[..., q, q].set(c)
         G = G.at[..., p, q].set(s)
         G = G.at[..., q, p].set(-s)
-        A = jnp.swapaxes(G, -1, -2) @ A @ G
-        V = V @ G
+        # HIGHEST: the Givens chains run 40+ dependent tiny products;
+        # bf16 operand rounding compounds to ~0.2-0.4 deg of rotation
+        # error in the leading eigenvector under the TPU default
+        hi = jax.lax.Precision.HIGHEST
+        A = jnp.matmul(jnp.matmul(jnp.swapaxes(G, -1, -2), A,
+                                  precision=hi), G, precision=hi)
+        V = jnp.matmul(V, G, precision=hi)
         return (A, V), None
 
     pairs = _cyclic_pairs(n) * sweeps

@@ -175,7 +175,10 @@ def _seed_transforms(cfg, seeds, seed_ok, SC2, src, tgt, valid):
     cross = jnp.abs(sd - td)
     pair_ok = nbr_ok[:, :, None] & nbr_ok[:, None, :]
     local_hard = ((cross < cfg.d_thre) & pair_ok).astype(jnp.float32)
-    local_sc2 = (local_hard[:, :1, :] @ local_hard)[:, 0, :]  # [S, k1]
+    # HIGHEST is free here (binary values are bf16-exact anyway) and keeps
+    # the structural invariant simple: no f32 dot in sc2_pcr at DEFAULT
+    local_sc2 = jnp.matmul(local_hard[:, :1, :], local_hard,
+                           precision=jax.lax.Precision.HIGHEST)[:, 0, :]
 
     # stage 2: k2 best of the seed-row local SC2
     local_sc2 = jnp.where(nbr_ok, local_sc2, -1.0)

@@ -19,9 +19,14 @@ def _unpinned_dots(txt):
     """Lines of lowered StableHLO whose dot_general carries DEFAULT
     operand precision (spelled `precision = [DEFAULT, DEFAULT]` on this
     jax version). One surviving HIGHEST pin must not mask removal of the
-    others, so the check is per-dot, not a global substring."""
+    others, so the check is per-dot, not a global substring. Dots with
+    bf16 operands are exempt: those are deliberate reduced-precision
+    compute (binary compatibility-matrix products whose values are
+    bf16-exact, e.g. sc2pcr.py SC2 measure) where DEFAULT is the intended
+    native MXU mode — the invariant guards COORDINATE-SCALE f32 dots."""
     return [ln.strip()[:160] for ln in txt.splitlines()
-            if "dot_general" in ln and "DEFAULT" in ln]
+            if "dot_general" in ln and "DEFAULT" in ln
+            and "xbf16>" not in ln.split("->")[0]]
 
 
 def _hlo_has_highest_dot(fn, *args):
