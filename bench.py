@@ -136,10 +136,12 @@ def main():
         knn_tile=2048, eval_sample_points=5000,
         sc2=SC2PCRConfig(max_points=5000, seed_cap=1000),
         # the test protocol applies no rotation augmentation (reference
-        # lib/data_loaders.py:1824-1831), so LiDAR z stays within +-19 m;
-        # the z window drives the transient neighbor-grid size (z=9 bits
-        # costs a 268 MB memset per cloud at L0 — train-only)
-        window_bits=(10, 10, 7),
+        # lib/data_loaders.py:1824-1831), so LiDAR z stays within +-19 m
+        # and xy within the 80 m scan range; the window drives the
+        # transient neighbor-grid size ((10,10,7) = 268 MB memset per
+        # cloud at L0; (9,9,7) quarters it and drops 0.02% of voxels on
+        # the bench scenes — measured round 5, proto_bench_caps notes)
+        window_bits=(9, 9, 7),
     )
     builder = StepBuilder(step_cfg)
     inner = builder.make_test_step(use_ransac=False)

@@ -79,6 +79,7 @@ def make_config(args, arm):
         hit_ratio_thresh=0.3,
         optimizer=args.optimizer, lr=args.lr, exp_gamma=args.exp_gamma,
         hn_safe_radius=args.hn_safe_radius,
+        label_min_translation_frac=args.label_min_translation_frac,
         batch_size=args.batch_size, iter_size=1,
         max_epoch=args.epochs,
         extension_steps=args.stages,
@@ -224,41 +225,55 @@ def main():
     p.add_argument("--arm", default="all",
                    choices=["all", "untrained", "base-only",
                             "eyoc-ema", "eyoc-sync"])
-    p.add_argument("--epochs", type=int, default=48)
+    p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--stages", type=int, default=12,
                    help="extension_steps: schedule updates per run")
-    p.add_argument("--base_epochs", type=int, default=12,
+    p.add_argument("--base_epochs", type=int, default=20,
                    help="extra base-mode epochs (repeat of schedule epoch "
                         "1) before the extension schedule runs")
     p.add_argument("--spatial_filter", default="None",
                    choices=["None", "Spherical"])
     p.add_argument("--filter_radius", type=float, default=10.0)
-    p.add_argument("--max_dist", type=int, default=45)
-    p.add_argument("--pairs_per_epoch", type=int, default=16)
+    p.add_argument("--max_dist", type=int, default=25,
+                   help="schedule end (m). 25 keeps the per-stage frontier "
+                        "advance (~2 m/stage at 12 stages) inside the "
+                        "labeler's measured reach; at 45 the compressed "
+                        "schedule outruns the frontier and beyond-frontier "
+                        "garbage labels dominate the draw d~U[1,MAX] "
+                        "(round-5 run 1, EXTENSION_DEMO.md)")
+    p.add_argument("--label_min_translation_frac", type=float, default=0.4,
+                   help="identity-attractor failure gate (see "
+                        "config.py --label_min_translation_frac); 0 "
+                        "restores reference exceptions-only failures")
+    p.add_argument("--pairs_per_epoch", type=int, default=24)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--points", type=int, default=65536)
     p.add_argument("--voxel_capacity", type=int, default=16384)
     p.add_argument("--eval_pairs", type=int, default=12)
-    p.add_argument("--eval_dists", default="15,30,45",
+    p.add_argument("--eval_dists", default="15,20,25,30",
                    help="comma list of held-out eval distances (m)")
-    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--exp_gamma", type=float, default=0.98)
-    p.add_argument("--hn_safe_radius", type=float, default=0.0,
+    p.add_argument("--hn_safe_radius", type=float, default=1.5,
                    help="hardest-negative mining safe radius (m): exclude "
                         "candidate negatives near the anchor's positive "
                         "partner (config.py --hn_safe_radius; 0 = exact "
-                        "reference mining)")
-    p.add_argument("--optimizer", default="Adam",
+                        "reference mining). Demo default 1.5: the round-5 "
+                        "diagnosis (proto_collapse_diag.py, "
+                        "EXTENSION_DEMO.md) shows reference-semantics "
+                        "mining collapses descriptors on this synthetic "
+                        "workload (it constantly mines same-surface "
+                        "quasi-duplicates of the true match); with the "
+                        "safe radius both SGD and Adam learn "
+                        "(hit@4m 0.02 -> 0.14-0.29)")
+    p.add_argument("--optimizer", default="SGD",
                    choices=["SGD", "Adam", "AdamW"],
                    help="the reference's --optimizer resolves any "
                         "torch.optim name (lib/trainer.py:80-84). Demo "
-                        "default Adam/1e-3: round-4 probes show the "
-                        "published SGD/0.1 recipe falls straight into "
-                        "the feature-collapse basin on THIS synthetic "
-                        "workload (hit decays below random init); Adam "
-                        "delays the same collapse ~6x — least-bad "
-                        "measured choice (proto_hit_scaling.py "
-                        "trajectories in EXTENSION_DEMO.md §3)")
+                        "default: the PUBLISHED SGD/0.1 — with the "
+                        "hn_safe_radius fix it learns steadily (round-5 "
+                        "probes; the round-4 'SGD collapses' finding was "
+                        "the mining pathology, not the optimizer)")
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke: shapes too small to learn, "
                         "exercises the full loop only")

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     # partner — prevents false-negative mining collapse on self-similar
     # geometry (loss.py hardest_contrastive_loss)
     g.add_argument("--hn_safe_radius", type=float, default=0.0)
+    # labeling failure gate: mask a pair's pseudo-labels when SC2-PCR's
+    # |translation| < frac * frame_distance (identity-attractor detection;
+    # steps.py _label_one). 0.0 = reference exceptions-only failures
+    g.add_argument("--label_min_translation_frac", type=float, default=0.0)
     # dp>1: synchronize the frozen labeler's BN stats over the dp axis
     # (exact single-process labeling semantics at ~75 extra psums/step)
     g.add_argument("--labeler_sync_bn", type=str2bool, default=False)

@@ -142,6 +142,11 @@ class StepConfig:
     # the false-negative amplification that collapses descriptor training
     # on self-similar geometry (loss.py hardest_contrastive_loss docs)
     hn_safe_radius: float = 0.0
+    # labeling failure gate (opt-in): mask a pair's pseudo-labels when the
+    # SC2-PCR pose's |translation| < frac * frame_distance — detects the
+    # identity-attractor wrong-pose mode on beyond-frontier pairs (see
+    # _label_one). 0.0 = reference semantics (exceptions-only failures)
+    label_min_translation_frac: float = 0.0
     # Jitter input-feature noise (reference lib/transforms.py:18-30,
     # applied in train phases at lib/data_loaders.py:1827-1830)
     use_jitter: bool = True
@@ -442,6 +447,23 @@ class StepBuilder:
         d2, nn = masked_argmin(warped, sel_ok, x1, m1, tile=c.knn_tile)
         within = d2 < c.rediscovery_radius ** 2
         ok_item = (jnp.sum(cv.astype(jnp.int32)) >= 10) & (jnp.max(fitness) > 0)
+        # translation-floor failure gate (opt-in, label_min_translation_frac
+        # > 0): SC2-PCR's characteristic failure on beyond-frontier pairs is
+        # the IDENTITY-ATTRACTOR — a near-zero-translation pose whose
+        # accidental self-similar alignments out-consense the true pose
+        # (EXTENSION_DEMO.md; labeler_hit ~ 0.01 while rediscovery still
+        # emits ~full num_pos of spurious 2 m NN pairs that poison the
+        # student). A pair whose frame distance says the sensors moved d
+        # but whose estimated |t| is near zero is a detected failure; mask
+        # its labels (the reference's try/except-continue,
+        # lib/trainer.py:1596-1604, only catches exceptions — this is the
+        # failure-DETECTION analog for the wrong-pose mode). frame_distance
+        # is in frames for real datasets and ~meters for the synthetic
+        # family; calibrate the fraction per dataset (demo: 0.4).
+        if c.label_min_translation_frac > 0.0:
+            t_norm = jnp.linalg.norm(T_est[:3, 3])
+            ok_item &= t_norm >= c.label_min_translation_frac * fd.astype(
+                jnp.float32)
         pair_ok = sel_ok & within & ok_item
         return sel, nn, pair_ok, labeler_hit, T_est
 

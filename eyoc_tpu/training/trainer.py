@@ -93,6 +93,8 @@ def build_step_config(config: Config, spec, *, axis_name=None,
         use_jitter=bool(config.get("use_jitter", True)),
         labeler_sync_bn=bool(config.get("labeler_sync_bn", False)),
         hn_safe_radius=float(config.get("hn_safe_radius", 0.0)),
+        label_min_translation_frac=float(
+            config.get("label_min_translation_frac", 0.0)),
     )
 
 

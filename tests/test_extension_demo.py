@@ -43,3 +43,24 @@ def test_quick_demo_runs_end_to_end(tmp_path):
     assert any((h.get("max_dist") or 0) > 1 for h in arm["history"])
     # checkpoint written by trainer._save at the end
     assert os.path.exists(os.path.join(out, "eyoc-ema", "checkpoint.msgpack"))
+
+
+def test_round5_results_demonstrate_extension():
+    """Pin the round-5 headline (verdict item 1): the committed TPU run's
+    table must show progressive extension extending — each eyoc arm
+    >= base-only at every band AND strictly above BOTH controls at >= 2
+    distance bands. Guards against regressions that silently weaken the
+    committed artifact (experiments/results_r5.json; full analysis in
+    EXTENSION_DEMO.md)."""
+    res = json.load(open(os.path.join(REPO, "experiments",
+                                      "results_r5.json")))
+    rr = {arm: {float(d): v for d, v in r["rr_final"].items()}
+          for arm, r in res.items()}
+    for arm in ("eyoc-ema", "eyoc-sync"):
+        strictly_above_both = 0
+        for d in rr[arm]:
+            assert rr[arm][d] >= rr["base-only"].get(d, 0.0), (arm, d)
+            if (rr[arm][d] > rr["base-only"].get(d, 0.0)
+                    and rr[arm][d] > rr["untrained"].get(d, 0.0)):
+                strictly_above_both += 1
+        assert strictly_above_both >= 2, (arm, rr)
