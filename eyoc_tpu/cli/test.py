@@ -59,14 +59,19 @@ def parse_args(argv=None):
                         "scripts/test_kitti.py:49-53,153-154 collects this "
                         "but never reports it; here it is summarized and "
                         "saved to <save_dir>/nn_dists.npy)")
-    p.add_argument("--window_bits", default="10,10,7", type=str,
+    p.add_argument("--window_bits", default="9,9,7", type=str,
                    help="spatial window bits per axis for the device "
                         "voxel engine. The test protocol applies no "
                         "rotation augmentation (reference "
-                        "lib/data_loaders.py:1824-1831) so z=7 bits "
-                        "(+-19 m) always covers LiDAR returns and keeps "
-                        "the transient neighbor grids small; training "
-                        "configs use z=8/9 to survive +-45 deg rotations")
+                        "lib/data_loaders.py:1824-1831) so 9,9,7 bits "
+                        "(+-153 m xy, +-19 m z at 0.3 m voxels) always "
+                        "cover unrotated LiDAR returns and keep the "
+                        "transient neighbor grids small (the 10-bit xy "
+                        "window cost ~3 ms/pair of pure memset — "
+                        "PERF_NOTES round-5 session B); training configs "
+                        "use 10,10,8+ to survive rotation augmentation. "
+                        "Out-of-window points are counted and reported "
+                        "at the end of the run — widen if nonzero")
     p.add_argument("--dp_devices", default=1, type=int,
                    help="shard the pair list over N devices (the TPU-native "
                         "analog of the reference 5-process fan-out, "

@@ -197,3 +197,29 @@ class TestJitter:
         cfg = StepConfig(spec=spec, caps=(64, 64, 64, 64), voxel_size=0.3,
                          conv1_kernel_size=5, use_jitter=False)
         assert StepBuilder(cfg)._jitter(jax.random.PRNGKey(0), 2, 128) is None
+
+
+class TestRound5FlagWiring:
+    def test_build_step_config_threads_round5_flags(self):
+        """--hn_safe_radius / --label_min_translation_frac /
+        --labeler_sync_bn / --optimizer AdamW must reach StepConfig (a
+        silently-dropped config key would revert the demo to the
+        collapsing reference semantics without any error)."""
+        from eyoc_tpu.config import Config, build_parser
+        from eyoc_tpu.models import load_model
+        from eyoc_tpu.training.trainer import build_step_config
+
+        cfg = Config(vars(build_parser().parse_args([])))
+        cfg.update(dict(hn_safe_radius=1.5, label_min_translation_frac=0.4,
+                        labeler_sync_bn=True, optimizer="AdamW"))
+        sc = build_step_config(cfg, load_model("ResUNetBN2C"))
+        assert sc.hn_safe_radius == 1.5
+        assert sc.label_min_translation_frac == 0.4
+        assert sc.labeler_sync_bn is True
+        assert sc.optimizer == "AdamW"
+        # defaults stay exact-reference
+        cfg2 = Config(vars(build_parser().parse_args([])))
+        sc2 = build_step_config(cfg2, load_model("ResUNetBN2C"))
+        assert sc2.hn_safe_radius == 0.0
+        assert sc2.label_min_translation_frac == 0.0
+        assert sc2.labeler_sync_bn is False
