@@ -424,11 +424,16 @@ class SyntheticPairDataset(PairDatasetBase):
         self.n_points = n_points
         self.dist = dist if dist is not None else max(5.0, float(config.pair_max_dist))
         self.files = [(0, i, i + 1) for i in range(n_pairs)]
+        # facade continuity knobs (default 1.0 = canonical scene family;
+        # scenes at defaults are bit-identical to pre-knob builds)
+        self.facade_len_scale = float(config.get("facade_len_scale", 1.0))
+        self.facade_gap_scale = float(config.get("facade_gap_scale", 1.0))
 
     GROUND_Z = -1.7
 
     @staticmethod
-    def make_scene(rng, d, extent=80.0, keepout=(), n_obj=110):
+    def make_scene(rng, d, extent=80.0, keepout=(), n_obj=110,
+                   facade_len_scale=1.0, facade_gap_scale=1.0):
         """Primitive-soup world for one scene: yaw-rotated boxes (OBB),
         vertical cylinders and spheres composed into varied archetypes,
         plus articulated street facades along the road.
@@ -539,9 +544,15 @@ class SyntheticPairDataset(PairDatasetBase):
             for (ylo, yhi, hlo, hhi, llo, lhi, glo, ghi) in (
                     (7, 14, 2.5, 9.0, 7, 22, 1.5, 7.0),      # near row
                     (17, 30, 7.0, 18.0, 10, 30, 1.0, 5.0)):  # background
+                # the scale factors multiply DRAWN values so the rng draw
+                # sequence (and therefore every default-scale scene) is
+                # bit-identical to scale 1.0; >1 len / <1 gap builds a more
+                # continuous street wall = higher co-visible overlap at
+                # 30+ m sensor separations (the §4 limit of the round-5
+                # extension demo)
                 x0 = rng.uniform(-30, -10)
                 while x0 < d + 15:
-                    L = rng.uniform(llo, lhi)
+                    L = rng.uniform(llo, lhi) * facade_len_scale
                     y = sgn * rng.uniform(ylo, yhi)
                     h = rng.uniform(hlo, hhi)
                     yaw = rng.normal(0, 0.04)
@@ -561,7 +572,7 @@ class SyntheticPairDataset(PairDatasetBase):
                         rt = rng.uniform(0.8, 2.0)
                         cyl.append((x0 + L + rt, y, G,
                                     G + h + rng.uniform(1, 4), rt, 0.3))
-                    x0 += L + rng.uniform(glo, ghi)
+                    x0 += L + rng.uniform(glo, ghi) * facade_gap_scale
 
         return {
             "obb": np.asarray(obb, np.float64).reshape(-1, 8),
@@ -812,7 +823,10 @@ class SyntheticPairDataset(PairDatasetBase):
         rng = np.random.default_rng(self.seed0 + idx)
         d = self._item_dist(idx, rng)
         # scene centered between the two poses so both scans see structure
-        scene = self.make_scene(rng, d, keepout=((0.0, 0.0), (d, 0.0)))
+        scene = self.make_scene(
+            rng, d, keepout=((0.0, 0.0), (d, 0.0)),
+            facade_len_scale=self.facade_len_scale,
+            facade_gap_scale=self.facade_gap_scale)
         # relative pose grows with travel distance (curving-road model):
         # adjacent frames (d~1 m) differ by <0.5 deg yaw / cm-level lateral
         # drift like real 10 Hz KITTI frames — the regime where the

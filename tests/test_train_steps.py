@@ -103,6 +103,28 @@ class TestExtensionStep:
         _, metrics = step(state, batch, 0.01)
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_translation_floor_gate_masks_attractor_labels(self, setup):
+        """--label_min_translation_frac (round-5 failure-detection gate):
+        an untrained labeler on a distant pair produces identity-attractor
+        poses (|t_est| << true motion) — with the gate armed at an
+        impossible-to-fake floor those pairs' labels must be MASKED
+        (num_pos_found -> 0), while frac=0 (reference semantics) accepts
+        them. The demo's green table rests on this mechanism
+        (EXTENSION_DEMO.md §2)."""
+        cfg, spec, state = setup
+        batch = make_batch(cfg, dist=4.0)
+        # frac=0: reference exceptions-only failures — labels flow
+        b0 = tiny_builder(cfg, spec, spatial_filter="None")
+        _, m0 = b0.make_extension_train_step()(state, batch, 0.01)
+        assert float(m0["num_pos_found"]) > 0
+        # impossible floor (|t| >= 50 * frame_distance): every pair's
+        # pose fails the gate, all labels masked, step still finite
+        b1 = tiny_builder(cfg, spec, spatial_filter="None",
+                          label_min_translation_frac=50.0)
+        _, m1 = b1.make_extension_train_step()(state, batch, 0.01)
+        assert float(m1["num_pos_found"]) == 0
+        assert np.isfinite(float(m1["loss"]))
+
 
 class TestEvalSteps:
     def test_valid_step(self, setup):
