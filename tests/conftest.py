@@ -32,6 +32,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # scripts/run_tests.sh deselects these by default (-m "not slow"); --full
 # runs everything. Keep node ids parametrization-free (matched by prefix).
 _SLOW = {
+    # round-5 additions (153 s / 117 s on the 1-core host)
+    "tests/test_train_steps.py::TestExtensionStep::test_translation_floor_gate_masks_attractor_labels",
+    "tests/test_parallel.py::TestLabelerLocalBN::test_dp_local_bn_divergence_is_bounded",
     "tests/test_api.py::TestExtractFeatures::test_determinism_and_shape_bucketing",
     "tests/test_api.py::TestExtractFeatures::test_occupancy_default",
     "tests/test_api.py::TestExtractFeatures::test_rgb_normal_channels",
