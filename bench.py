@@ -236,7 +236,10 @@ def main():
         "host_rtt_s": round(rtt, 4),
         "feat_ms_per_pair": round(1000 * (dt - reg_dt) / N_PAIRS, 2),
         "reg_ms_per_pair": round(1000 * reg_dt / N_PAIRS, 2),
-        "synthetic_rr_untrained": succ / N_PAIRS,
+        # RR of the TIMED phase (untrained net, hardest split d in [40,50] m)
+        # — expected 0.0; this is a throughput workload, not the capability
+        # protocol (see rr_{trained,untrained}_* below for that)
+        "timed_rr_untrained_d40_50": succ / N_PAIRS,
         "device": str(jax.devices()[0]),
     }
     if cap is not None:
