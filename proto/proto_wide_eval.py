@@ -8,9 +8,10 @@ WIDER bank — default 36 pairs/distance, a superset of the demo's banks
 5000-pt sample, SC2-PCR; reference scripts/test_kitti.py:156-181) — to
 tighten the binomial confidence on the per-band RR.
 
-Recorded result (EXTENSION_DEMO.md §4, replication checkpoint from
-results_r5_30m.json): eyoc-ema 0.97/0.67/0.22/0.00 vs untrained
-0.89/0.00/0.00/0.00 at 15/20/25/30 m — at 20 m that is 24/36 vs 0/36.
+Recorded results (EXTENSION_DEMO.md §4, replication checkpoints from
+results_r5_30m.json), at 15/20/25/30 m: eyoc-ema 0.97/0.67/0.22/0.00,
+eyoc-sync 0.97/0.72/0.28/0.00, untrained 0.89/0.00/0.00/0.00 — at 20 m
+that is 24/36 and 26/36 vs 0/36.
 
 Run (TPU):
   python proto/proto_wide_eval.py --ckpt <out_dir>/<arm>/checkpoint

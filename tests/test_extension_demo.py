@@ -68,19 +68,22 @@ def test_round5_results_demonstrate_extension():
 
 def test_round5_replication_reproduces_frontier():
     """Pin the session-D replication (experiments/results_r5_30m.json):
-    an INDEPENDENT eyoc-ema run on a different schedule (70 epochs /
-    14 stages to 30 m) must reproduce the frontier — RR held at >= 3
-    distance bands that an untrained net registers at 0 (the committed
-    untrained control in results_r5.json is 0 beyond 15 m), with a
-    stage-by-stage extending trajectory. Guards the replication artifact
-    the stability claim in EXTENSION_DEMO.md §4 rests on."""
+    INDEPENDENT eyoc-ema and eyoc-sync runs on a different schedule
+    (70 epochs / 14 stages to 30 m) must reproduce the frontier — RR
+    held at >= 3 distance bands that an untrained net registers at 0
+    (the committed untrained control in results_r5.json is 0 beyond
+    15 m), with a stage-by-stage extending trajectory. Guards the
+    replication artifact the stability claim in EXTENSION_DEMO.md §4
+    rests on."""
     res = json.load(open(os.path.join(REPO, "experiments",
                                       "results_r5_30m.json")))
-    arm = res["eyoc-ema"]
-    rr = {float(d): v for d, v in arm["rr_final"].items()}
-    assert rr[15.0] >= 0.9 and rr[20.0] > 0.0 and rr[25.0] > 0.0, rr
-    # trajectory must show the frontier moving outward: the 25 m band is
-    # zero while the schedule is short and positive once it has extended
-    hist = arm["history"]
-    rr25 = [h["rr"].get("25.0", h["rr"].get(25.0, 0.0)) for h in hist]
-    assert rr25[0] == 0.0 and max(rr25) > 0.0, rr25
+    for name in ("eyoc-ema", "eyoc-sync"):
+        arm = res[name]
+        rr = {float(d): v for d, v in arm["rr_final"].items()}
+        assert rr[15.0] >= 0.9 and rr[20.0] > 0.0 and rr[25.0] > 0.0, (
+            name, rr)
+        # trajectory must show the frontier moving outward: the 25 m band
+        # is zero while the schedule is short, positive once extended
+        hist = arm["history"]
+        rr25 = [h["rr"].get("25.0", h["rr"].get(25.0, 0.0)) for h in hist]
+        assert rr25[0] == 0.0 and max(rr25) > 0.0, (name, rr25)
